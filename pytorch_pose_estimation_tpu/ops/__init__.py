@@ -1,0 +1,31 @@
+from .targets import (
+    sbp_heatmaps,
+    spm_heatmaps,
+    spm_masks,
+    spm_displacements,
+    spm_target,
+    SBPHeatmapGenerator,
+    SPMTargetGenerator,
+)
+from .decode import (
+    decode_sbp,
+    decode_sbp_batch,
+    DecodeSBP,
+    decode_spm,
+    DecodeSPM,
+)
+
+__all__ = [
+    "sbp_heatmaps",
+    "spm_heatmaps",
+    "spm_masks",
+    "spm_displacements",
+    "spm_target",
+    "SBPHeatmapGenerator",
+    "SPMTargetGenerator",
+    "decode_sbp",
+    "decode_sbp_batch",
+    "DecodeSBP",
+    "decode_spm",
+    "DecodeSPM",
+]

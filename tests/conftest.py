@@ -1,0 +1,20 @@
+"""Test env: force the CPU backend with 8 virtual devices so multi-chip
+sharding is exercised without TPU hardware (the driver separately dry-runs
+the multi-chip path via __graft_entry__.dryrun_multichip).
+
+The ambient environment pins JAX to the TPU plugin via sitecustomize, which
+overrides JAX_PLATFORMS -- so the platform must be forced through
+jax.config before any backend is initialized.
+"""
+
+import os
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

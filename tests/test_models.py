@@ -1,0 +1,86 @@
+"""Model substrate tests: shape ladders, parameter counts vs a torch twin,
+and bit-level forward parity with torch (conv padding, BN eps, deconv
+geometry all covered by the numeric check)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from pytorch_pose_estimation_tpu.models import SBP, SPM, darknet19
+from pytorch_pose_estimation_tpu.models.summary import count_params, summarize
+
+from golden.torch_models import TorchSBP, torch_params_to_flax
+
+
+def test_darknet19_feature_shape():
+    model = darknet19(features_only=True)
+    x = jnp.zeros((1, 256, 192, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(variables, x)
+    assert out.shape == (1, 8, 6, 1024)
+
+
+def test_darknet19_out_indices():
+    model = darknet19(features_only=True, out_indices=[4, 5])
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    outs = model.apply(variables, x)
+    assert [o.shape for o in outs] == [(1, 4, 4, 512), (1, 2, 2, 1024)]
+
+
+def test_darknet19_classifier():
+    model = darknet19(pretrained="tiny-imagenet")
+    assert model.num_classes == 200
+    x = jnp.zeros((2, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(variables, x)
+    assert out.shape == (2, 200)
+
+
+def test_sbp_shape_ladder():
+    info = summarize(SBP(num_keypoints=17), (1, 256, 192, 3))
+    assert info["output_shape"] == (1, 64, 48, 17)
+
+
+def test_spm_shape():
+    info = summarize(SPM(num_keypoints=17), (1, 512, 512, 3))
+    assert info["output_shape"] == (1, 128, 128, 35)
+
+
+def test_sbp_param_count_matches_torch():
+    tm = TorchSBP(num_keypoints=17)
+    torch_total = sum(p.numel() for p in tm.parameters())
+
+    model = SBP(num_keypoints=17)
+    variables = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((1, 256, 192, 3)))
+    )
+    assert count_params(variables["params"]) == torch_total
+
+
+@pytest.mark.parametrize("train", [False])
+def test_sbp_forward_matches_torch(train):
+    torch.manual_seed(0)
+    tm = TorchSBP(num_keypoints=17).eval()
+    # randomize BN stats so eval-mode normalization is non-trivial
+    for m in tm.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.normal_(0, 0.05)
+            m.running_var.uniform_(0.5, 1.5)
+
+    params, stats = torch_params_to_flax(tm)
+    variables = {"params": params, "batch_stats": stats}
+
+    x = np.random.RandomState(1).rand(2, 3, 64, 48).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x)).numpy()
+
+    model = SBP(num_keypoints=17)
+    with jax.default_matmul_precision("highest"):
+        out = model.apply(variables, jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+                          train=train)
+    out_nchw = np.transpose(np.asarray(out), (0, 3, 1, 2))
+    assert ref.shape == out_nchw.shape
+    np.testing.assert_allclose(out_nchw, ref, rtol=1e-4, atol=1e-4)
