@@ -1,0 +1,103 @@
+"""Benchmark: SBP 256x192 inference throughput on one TPU chip vs the
+PyTorch-CPU baseline (BASELINE.json metric).
+
+Prints exactly ONE JSON line on stdout:
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+Diagnostics go to stderr.
+"""
+
+import json
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def bench_tpu_sbp(batch: int = 256, iters: int = 30, warmup: int = 5):
+    import jax
+    import jax.numpy as jnp
+
+    from pytorch_pose_estimation_tpu.models import SBP
+
+    model = SBP(num_keypoints=17, dtype=jnp.bfloat16)
+    images = jnp.zeros((batch, 256, 192, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), images)
+
+    # Chain iterations through a data dependency inside one jitted loop so
+    # the timing cannot be defeated by async dispatch or duplicate elision.
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def forward_n(variables, images, n):
+        def body(_, carry):
+            im, acc = carry
+            out = model.apply(variables, im, train=False)
+            acc = acc + jnp.float32(out[0, 0, 0, 0])
+            # fold the (tiny) accumulator back into the input: the apply is
+            # no longer loop-invariant, so XLA cannot hoist or elide it
+            return im + acc * jnp.float32(1e-20), acc
+        _, acc = jax.lax.fori_loop(0, n, body, (images, jnp.float32(0)))
+        return acc
+
+    forward_n(variables, images, warmup).block_until_ready()
+    t0 = time.perf_counter()
+    forward_n(variables, images, iters).block_until_ready()
+    dt = time.perf_counter() - t0
+    ips = batch * iters / dt
+    log(f"TPU SBP batch={batch}: {ips:.1f} img/s "
+        f"({dt / iters * 1000:.2f} ms/batch) on {jax.devices()[0]}")
+    return ips
+
+
+def bench_torch_cpu_sbp(batch: int = 4, iters: int = 3):
+    """Reference-architecture torch model on CPU (the baseline)."""
+    import torch
+    from torch import nn
+
+    from pytorch_pose_estimation_tpu.models.darknet import STAGES
+
+    layers = []
+    c_in = 3
+    for table in STAGES:
+        for entry in table:
+            if entry == "M":
+                layers.append(nn.MaxPool2d(2, 2))
+            else:
+                c_out, k = entry
+                layers += [nn.Conv2d(c_in, c_out, k, 1, (k - 1) // 2,
+                                     bias=False),
+                           nn.BatchNorm2d(c_out), nn.ReLU()]
+                c_in = c_out
+    for c_in_d in (1024, 512, 512):
+        layers += [nn.ConvTranspose2d(c_in_d, 512, 4, 2, 1, bias=False),
+                   nn.BatchNorm2d(512), nn.ReLU()]
+    layers.append(nn.Conv2d(512, 17, 1, 1, bias=False))
+    model = nn.Sequential(*layers).eval()
+
+    x = torch.zeros(batch, 3, 256, 192)
+    with torch.no_grad():
+        model(x)  # warmup
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            model(x)
+        dt = time.perf_counter() - t0
+    ips = batch * iters / dt
+    log(f"torch-CPU SBP batch={batch}: {ips:.1f} img/s")
+    return ips
+
+
+def main():
+    tpu_ips = bench_tpu_sbp()
+    cpu_ips = bench_torch_cpu_sbp()
+    print(json.dumps({
+        "metric": "sbp_256x192_inference_throughput",
+        "value": round(tpu_ips, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(tpu_ips / cpu_ips, 2),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

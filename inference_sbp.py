@@ -1,0 +1,97 @@
+"""Single-image SBP inference with side-by-side GT/pred visualization and
+per-image latency print (the reference's perf probe,
+reference: inference_sbp.py:61-107).
+
+    python inference_sbp.py --cfg configs/sbp_coco.yaml --ckpt CKPT \
+        [--save-dir DIR] [--limit N]
+
+Headless environments: pass --save-dir to write tagged images instead of
+cv2.imshow windows.
+"""
+
+import argparse
+import os
+import time
+
+import cv2
+import numpy as np
+
+from pytorch_pose_estimation_tpu.config import get_configs
+from pytorch_pose_estimation_tpu.data import SBPCOCODataModule
+from pytorch_pose_estimation_tpu.ops import DecodeSBP, decode_sbp_batch
+from pytorch_pose_estimation_tpu.ops.targets import SBPHeatmapGenerator
+from pytorch_pose_estimation_tpu.train.trainer import load_for_inference
+from pytorch_pose_estimation_tpu.vis import get_coco_tagged_img_sbp
+
+
+def inference(cfg, ckpt, save_dir=None, limit=None):
+    data_module = SBPCOCODataModule(
+        train_path=cfg["train_path"], val_path=cfg["val_path"],
+        img_dir=cfg["img_dir"], input_size=cfg["input_size"],
+        output_size=cfg["output_size"], num_keypoints=cfg["num_keypoints"],
+        sigma=cfg["sigma"], workers=cfg["workers"], batch_size=1,
+        class_labels=cfg["class_labels"])
+    data_module.prepare_data()
+    data_module.setup()
+
+    _, forward = load_for_inference(cfg, ckpt, kind="sbp")
+    heatmap_gen = SBPHeatmapGenerator(cfg["output_size"],
+                                      cfg["num_keypoints"], cfg["sigma"])
+    true_decoder = DecodeSBP(cfg["input_size"], 0.99, pred=False)
+    ratio = cfg["output_size"][0] / cfg["input_size"][0]
+    in_h, in_w = cfg["input_size"]
+
+    show = save_dir is None
+    if save_dir:
+        os.makedirs(save_dir, exist_ok=True)
+
+    import jax.numpy as jnp
+
+    for i, batch in enumerate(data_module.val_loader(batch_size=1)):
+        if limit is not None and i >= limit:
+            break
+        bbox = batch["bbox"][0]
+        org_img = cv2.imread(data_module.val_db[i]["image_path"])
+
+        img = jnp.asarray(batch["image"])
+        before = time.time()
+        logits = forward(img)
+        pred_joints = np.asarray(decode_sbp_batch(
+            logits, in_w, cfg["conf_threshold"], True))[0]
+        print(f"Inference: {(time.time() - before) * 1000:.2f}ms")
+
+        # decode GT from re-stamped target heatmaps
+        joints = batch["joints"][0] * ratio
+        joints[batch["joints_vis"][0] < 1] = -1
+        hms = np.asarray(heatmap_gen(joints))
+        true_joints = np.asarray(true_decoder(hms[None]))
+
+        for j in (pred_joints, true_joints):
+            j[..., 0] = j[..., 0] * (bbox[2] / in_w) + bbox[0]
+            j[..., 1] = j[..., 1] * (bbox[3] / in_h) + bbox[1]
+
+        pred_img = get_coco_tagged_img_sbp(org_img, pred_joints)
+        true_img = get_coco_tagged_img_sbp(org_img, true_joints)
+
+        if show:
+            cv2.imshow("true", true_img)
+            cv2.imshow("pred", pred_img)
+            if cv2.waitKey(0) == 27:
+                break
+        else:
+            cv2.imwrite(os.path.join(save_dir, f"{i:06d}_pred.jpg"), pred_img)
+            cv2.imwrite(os.path.join(save_dir, f"{i:06d}_true.jpg"), true_img)
+    if show:
+        cv2.destroyAllWindows()
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--cfg", required=True, type=str, help="config file")
+    parser.add_argument("--ckpt", required=True, type=str,
+                        help="checkpoint dir")
+    parser.add_argument("--save-dir", type=str, default=None,
+                        help="write tagged images here instead of imshow")
+    parser.add_argument("--limit", type=int, default=None)
+    args = parser.parse_args()
+    inference(get_configs(args.cfg), args.ckpt, args.save_dir, args.limit)

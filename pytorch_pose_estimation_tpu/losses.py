@@ -47,6 +47,23 @@ def sbp_loss(logits: jnp.ndarray, target: jnp.ndarray,
     return (loss_pos + loss_neg) / batch
 
 
+def sbp_loss_per_sample(logits: jnp.ndarray, target: jnp.ndarray,
+                        lambda_positive: float = 5.0,
+                        lambda_negative: float = 1.0) -> jnp.ndarray:
+    """Per-sample SBP losses [B] (mean over B equals ``sbp_loss``); used for
+    padded-batch eval where padded rows must be masked out on host."""
+    logits = logits.astype(jnp.float32)
+    target = target.astype(jnp.float32)
+    k = logits.shape[-1]
+    pred = jax.nn.sigmoid(logits)
+    pos = target > 0.0
+    err_pos = jnp.where(pos, pred - target, 0.0)
+    err_neg = jnp.where(pos, 0.0, pred)
+    per = (lambda_positive * jnp.sum(err_pos ** 2, axis=(1, 2, 3))
+           + lambda_negative * jnp.sum(err_neg ** 2, axis=(1, 2, 3)))
+    return per / (k * 2)
+
+
 def spm_loss(logits: jnp.ndarray, target: jnp.ndarray,
              lambda_root: float = 1.0,
              lambda_disp: float = 0.1) -> jnp.ndarray:
@@ -69,3 +86,21 @@ def spm_loss(logits: jnp.ndarray, target: jnp.ndarray,
     # prediction by the root mask, so reproduce exactly that.
     loss_disp = lambda_disp * jnp.sum(_smooth_l1(pred_disp * mask - true_disp))
     return (loss_root + loss_disp) / batch
+
+
+def spm_loss_per_sample(logits: jnp.ndarray, target: jnp.ndarray,
+                        lambda_root: float = 1.0,
+                        lambda_disp: float = 0.1) -> jnp.ndarray:
+    """Per-sample SPM losses [B] (mean over B equals ``spm_loss``)."""
+    logits = logits.astype(jnp.float32)
+    target = target.astype(jnp.float32)
+    pred_root = jax.nn.sigmoid(logits[..., :1])
+    pred_disp = jnp.tanh(logits[..., 1:])
+    true_root = target[..., :1]
+    true_disp = target[..., 1:]
+    mask = (true_root > 0.0).astype(jnp.float32)
+    loss_root = lambda_root * jnp.sum((pred_root * mask - true_root) ** 2,
+                                      axis=(1, 2, 3))
+    loss_disp = lambda_disp * jnp.sum(
+        _smooth_l1(pred_disp * mask - true_disp), axis=(1, 2, 3))
+    return loss_root + loss_disp

@@ -1,0 +1,277 @@
+"""Device-side image preprocessing / augmentation pipeline.
+
+The reference runs Albumentations on 32 CPU worker processes
+(reference: dataset/sbp_coco_dataset.py:220-237): Rotate(40) -> CLAHE ->
+ColorJitter(0.5, 0.2, 0.5, 0.1) -> RandomResizedCrop(scale (0.4, 1),
+ratio (0.4, 1.6)) -> Normalize(0, 1); val = Resize -> Normalize.
+
+TPU-native split:
+* Host does only decode + bbox crop + fixed-size resize (+ optional cv2
+  CLAHE, the one histogram op that is cheaper on host), emitting static
+  shapes.
+* Everything else runs here as one jitted, vmapped stage: rotation and
+  random-resized-crop composed into a single inverse affine map applied by
+  bilinear warp (reflect-101 borders, cv2's default), photometric jitter in
+  randomized op order, and /255 normalization.  Keypoints ride the same
+  affine; out-of-frame keypoints are marked invisible, reproducing
+  Albumentations' drop + ``_fix_joints`` bookkeeping
+  (reference: dataset/sbp_coco_dataset.py:171-187).
+
+Everything is a pure function of a PRNG key -> fuses with the train step
+into a single XLA launch; no host round-trip after the batch lands on
+device.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+# --------------------------------------------------------------------------
+# geometry
+# --------------------------------------------------------------------------
+
+def _reflect101(coord: jnp.ndarray, size: int) -> jnp.ndarray:
+    """Fold coordinates into [0, size-1] with reflect-101 (no edge repeat)."""
+    if size == 1:
+        return jnp.zeros_like(coord)
+    period = 2.0 * (size - 1)
+    c = jnp.mod(coord, period)
+    return jnp.where(c > (size - 1), period - c, c)
+
+
+def _bilinear_sample(img: jnp.ndarray, ys: jnp.ndarray,
+                     xs: jnp.ndarray) -> jnp.ndarray:
+    """img: [H, W, C]; ys/xs: [h, w] sample coords.  Reflect-101 borders."""
+    h, w = img.shape[:2]
+    ys = _reflect101(ys, h)
+    xs = _reflect101(xs, w)
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    wy = (ys - y0)[..., None]
+    wx = (xs - x0)[..., None]
+    y0 = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    x0 = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+    y1 = jnp.clip(y0 + 1, 0, h - 1)
+    x1 = jnp.clip(x0 + 1, 0, w - 1)
+    v00 = img[y0, x0]
+    v01 = img[y0, x1]
+    v10 = img[y1, x0]
+    v11 = img[y1, x1]
+    top = v00 * (1 - wx) + v01 * wx
+    bot = v10 * (1 - wx) + v11 * wx
+    return top * (1 - wy) + bot * wy
+
+
+def affine_warp(img: jnp.ndarray, inv_matrix: jnp.ndarray,
+                out_hw: Tuple[int, int]) -> jnp.ndarray:
+    """Warp [H, W, C] by the inverse affine (output px -> input px).
+
+    inv_matrix: [2, 3] mapping output (x, y, 1) -> input (x, y).
+    """
+    oh, ow = out_hw
+    ys = jax.lax.broadcasted_iota(jnp.float32, (oh, ow), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (oh, ow), 1)
+    in_x = inv_matrix[0, 0] * xs + inv_matrix[0, 1] * ys + inv_matrix[0, 2]
+    in_y = inv_matrix[1, 0] * xs + inv_matrix[1, 1] * ys + inv_matrix[1, 2]
+    return _bilinear_sample(img, in_y, in_x)
+
+
+def _compose(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Compose 2x3 affines: result(x) = a(b(x))."""
+    a3 = jnp.concatenate([a, jnp.array([[0.0, 0.0, 1.0]])], axis=0)
+    b3 = jnp.concatenate([b, jnp.array([[0.0, 0.0, 1.0]])], axis=0)
+    return (a3 @ b3)[:2]
+
+
+def _rotation_about(cx: float, cy: float, angle_rad) -> jnp.ndarray:
+    c = jnp.cos(angle_rad)
+    s = jnp.sin(angle_rad)
+    return jnp.array([
+        [c, -s, cx - c * cx + s * cy],
+        [s, c, cy - s * cx - c * cy],
+    ])
+
+
+def _crop_resize(x0, y0, cw, ch, out_w: int, out_h: int) -> jnp.ndarray:
+    """Forward affine mapping input px in the crop box to output px."""
+    sx = out_w / cw
+    sy = out_h / ch
+    return jnp.array([[sx, 0.0, -x0 * sx], [0.0, sy, -y0 * sy]])
+
+
+def _invert(m: jnp.ndarray) -> jnp.ndarray:
+    a, b, c = m[0]
+    d, e, f = m[1]
+    det = a * e - b * d
+    ia, ib = e / det, -b / det
+    id_, ie = -d / det, a / det
+    return jnp.array([
+        [ia, ib, -(ia * c + ib * f)],
+        [id_, ie, -(id_ * c + ie * f)],
+    ])
+
+
+def sample_train_affine(key, in_hw: Tuple[int, int],
+                        rotate_limit: float = 40.0,
+                        scale_range=(0.4, 1.0),
+                        ratio_range=(0.4, 1.6)) -> jnp.ndarray:
+    """Sample the composed forward affine for one example:
+    Rotate(+-limit deg about center) then RandomResizedCrop(scale, ratio)
+    back to in_hw.  Returns the forward [2, 3] matrix (input px -> output px).
+    """
+    h, w = in_hw
+    k_rot, k_area, k_ratio, k_x, k_y = jax.random.split(key, 5)
+    angle = jax.random.uniform(k_rot, (), minval=-rotate_limit,
+                               maxval=rotate_limit) * jnp.pi / 180.0
+    rot = _rotation_about(w / 2.0, h / 2.0, angle)
+
+    # torchvision-style RRC parameter sampling (area fraction + log-aspect)
+    area = h * w * jax.random.uniform(k_area, (), minval=scale_range[0],
+                                      maxval=scale_range[1])
+    log_r = jax.random.uniform(
+        k_ratio, (),
+        minval=jnp.log(ratio_range[0]), maxval=jnp.log(ratio_range[1]))
+    aspect = jnp.exp(log_r)
+    cw = jnp.clip(jnp.sqrt(area * aspect), 8.0, w)
+    ch = jnp.clip(jnp.sqrt(area / aspect), 8.0, h)
+    x0 = jax.random.uniform(k_x, (), minval=0.0, maxval=1.0) * (w - cw)
+    y0 = jax.random.uniform(k_y, (), minval=0.0, maxval=1.0) * (h - ch)
+    crop = _crop_resize(x0, y0, cw, ch, w, h)
+    return _compose(crop, rot)
+
+
+def transform_points(m: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
+    """Apply a [2, 3] affine to [N, 2] (x, y) points."""
+    return pts @ m[:, :2].T + m[:, 2]
+
+
+# --------------------------------------------------------------------------
+# photometric
+# --------------------------------------------------------------------------
+
+def _rgb_to_hsv(rgb: jnp.ndarray):
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    maxc = jnp.maximum(jnp.maximum(r, g), b)
+    minc = jnp.minimum(jnp.minimum(r, g), b)
+    v = maxc
+    d = maxc - minc
+    s = jnp.where(maxc > 0, d / jnp.maximum(maxc, 1e-8), 0.0)
+    d_safe = jnp.maximum(d, 1e-8)
+    rc = (maxc - r) / d_safe
+    gc = (maxc - g) / d_safe
+    bc = (maxc - b) / d_safe
+    h = jnp.where(r == maxc, bc - gc,
+                  jnp.where(g == maxc, 2.0 + rc - bc, 4.0 + gc - rc))
+    h = jnp.where(d > 0, (h / 6.0) % 1.0, 0.0)
+    return h, s, v
+
+
+def _hsv_to_rgb(h, s, v):
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    i = i.astype(jnp.int32) % 6
+    r = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                   [v, q, p, p, t, v])
+    g = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                   [t, v, q, p, p, q])
+    b = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                   [p, p, t, v, q, v])
+    return jnp.stack([r, g, b], axis=-1)
+
+
+def color_jitter(key, img: jnp.ndarray, brightness: float = 0.5,
+                 contrast: float = 0.2, saturation: float = 0.5,
+                 hue: float = 0.1) -> jnp.ndarray:
+    """torchvision-style ColorJitter on [H, W, 3] in [0, 1]: factors drawn
+    uniformly, ops applied in random order (reference transform:
+    dataset/sbp_coco_dataset.py:222-227)."""
+    k_b, k_c, k_s, k_h, k_perm = jax.random.split(key, 5)
+    fb = jax.random.uniform(k_b, (), minval=1 - brightness,
+                            maxval=1 + brightness)
+    fc = jax.random.uniform(k_c, (), minval=1 - contrast, maxval=1 + contrast)
+    fs = jax.random.uniform(k_s, (), minval=1 - saturation,
+                            maxval=1 + saturation)
+    fh = jax.random.uniform(k_h, (), minval=-hue, maxval=hue)
+
+    def op_brightness(x):
+        return jnp.clip(x * fb, 0.0, 1.0)
+
+    def op_contrast(x):
+        mean = jnp.mean(0.299 * x[..., 0] + 0.587 * x[..., 1]
+                        + 0.114 * x[..., 2])
+        return jnp.clip((x - mean) * fc + mean, 0.0, 1.0)
+
+    def op_saturation(x):
+        gray = (0.299 * x[..., 0] + 0.587 * x[..., 1]
+                + 0.114 * x[..., 2])[..., None]
+        return jnp.clip((x - gray) * fs + gray, 0.0, 1.0)
+
+    def op_hue(x):
+        h, s, v = _rgb_to_hsv(x)
+        return jnp.clip(_hsv_to_rgb((h + fh) % 1.0, s, v), 0.0, 1.0)
+
+    perm = jax.random.permutation(k_perm, 4)
+
+    def body(i, x):
+        return jax.lax.switch(perm[i], [op_brightness, op_contrast,
+                                        op_saturation, op_hue], x)
+
+    return jax.lax.fori_loop(0, 4, body, img)
+
+
+# --------------------------------------------------------------------------
+# full pipelines
+# --------------------------------------------------------------------------
+
+def _augment_one(key, img_u8, joints, vis, out_hw, rotate_limit,
+                 scale_range, ratio_range, jitter_params):
+    h, w = out_hw
+    k_aff, k_col = jax.random.split(key)
+    img = img_u8.astype(jnp.float32) / 255.0
+    fwd = sample_train_affine(k_aff, out_hw, rotate_limit, scale_range,
+                              ratio_range)
+    inv = _invert(fwd)
+    img = affine_warp(img, inv, out_hw)
+    img = color_jitter(k_col, img, *jitter_params)
+
+    new_pts = transform_points(fwd, joints)
+    inside = (new_pts[:, 0] >= 0) & (new_pts[:, 0] < w) & \
+             (new_pts[:, 1] >= 0) & (new_pts[:, 1] < h)
+    new_vis = vis * inside.astype(vis.dtype)
+    return img, new_pts, new_vis
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8))
+def augment_batch(key, images_u8, joints, vis, out_hw: Tuple[int, int],
+                  rotate_limit: float = 40.0,
+                  scale_range: Tuple[float, float] = (0.4, 1.0),
+                  ratio_range: Tuple[float, float] = (0.4, 1.6),
+                  jitter_params: Tuple[float, float, float, float] =
+                  (0.5, 0.2, 0.5, 0.1)):
+    """Train-time batch augmentation.
+
+    images_u8: [B, H, W, 3] uint8; joints: [B, K, 2] in input px;
+    vis: [B, K].  Returns (images fp32 [0,1], joints, vis) after a
+    per-example random rotate + random-resized-crop + color jitter.
+    """
+    keys = jax.random.split(key, images_u8.shape[0])
+    fn = functools.partial(_augment_one, out_hw=out_hw,
+                           rotate_limit=rotate_limit,
+                           scale_range=scale_range, ratio_range=ratio_range,
+                           jitter_params=jitter_params)
+    return jax.vmap(fn)(keys, images_u8, joints, vis)
+
+
+@jax.jit
+def normalize_batch(images_u8):
+    """Val-time preprocessing: just Normalize(0, 1) == /255
+    (reference: dataset/sbp_coco_dataset.py:234-237)."""
+    return images_u8.astype(jnp.float32) / 255.0

@@ -1,0 +1,11 @@
+from .state import TrainState, create_train_state
+from .steps import make_sbp_steps, make_spm_steps
+from .trainer import Trainer
+
+__all__ = [
+    "TrainState",
+    "create_train_state",
+    "make_sbp_steps",
+    "make_spm_steps",
+    "Trainer",
+]

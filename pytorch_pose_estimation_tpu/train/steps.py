@@ -1,0 +1,133 @@
+"""Jitted train / eval steps for SBP and SPM.
+
+One XLA launch per step does everything after the uint8 batch lands on
+device: augmentation (rotate+RRC+color-jitter), Gaussian/displacement
+target generation, forward, loss, backward, optimizer update -- replacing
+the reference's host-side Albumentations + NumPy target workers + Lightning
+step (reference call stack: SURVEY.md section 3.1).
+
+Under a sharded-batch input, XLA inserts the gradient/BN all-reduces over
+the mesh's data axis; there is no explicit pmap/psum in this code.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..losses import (sbp_loss, sbp_loss_per_sample, spm_loss,
+                      spm_loss_per_sample)
+from ..ops.image import augment_batch, color_jitter, normalize_batch
+from ..ops.targets import sbp_heatmaps, spm_target
+
+
+def _sbp_targets(joints, vis, ratio, output_size, num_keypoints, sigma):
+    """joints [B,K,2] input px + vis [B,K] -> NHWC heatmaps [B,h,w,K].
+    Scale to output res, invisible -> -1 (the generator's skip sentinel),
+    exactly the reference dataset's encode chain
+    (dataset/sbp_coco_dataset.py:71-77)."""
+    scaled = joints * ratio
+    scaled = jnp.where(vis[..., None] >= 1, scaled, -1.0)
+    maps = jax.vmap(lambda j: sbp_heatmaps(
+        j, tuple(output_size), num_keypoints, sigma))(scaled)
+    return jnp.transpose(maps, (0, 2, 3, 1))
+
+
+def make_sbp_steps(model, optimizer, input_size, output_size: Tuple[int, int],
+                   num_keypoints: int, sigma: float, augment: dict = None):
+    """Returns (train_step, eval_step).
+
+    train_step(state, batch, rng) -> (state, loss)
+      batch: image uint8 [B,H,W,3], joints [B,K,2], joints_vis [B,K]
+    eval_step(state, batch) -> (loss, logits NHWC)
+    """
+    ratio = output_size[0] / input_size[0]
+    augment = augment or {}
+    rotate_limit = augment.get("rotate_limit", 40.0)
+    scale_range = tuple(augment.get("scale_range", (0.4, 1.0)))
+    ratio_range = tuple(augment.get("ratio_range", (0.4, 1.6)))
+    jitter = tuple(augment.get("color_jitter", (0.5, 0.2, 0.5, 0.1)))
+    out_hw = (int(input_size[0]), int(input_size[1]))
+
+    def train_step(state, batch, rng):
+        images, joints, vis = augment_batch(
+            rng, batch["image"], batch["joints"], batch["joints_vis"],
+            out_hw, rotate_limit, scale_range, ratio_range, jitter)
+        target = _sbp_targets(joints, vis, ratio, output_size,
+                              num_keypoints, sigma)
+
+        def loss_fn(params):
+            logits, mutated = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                images, train=True, mutable=["batch_stats"])
+            return sbp_loss(logits, target), mutated["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads=grads, batch_stats=new_stats)
+        return state, loss
+
+    def eval_step(state, batch):
+        """Returns (per-sample losses [B], logits NHWC) so padded eval rows
+        can be masked on host."""
+        images = normalize_batch(batch["image"])
+        target = _sbp_targets(batch["joints"], batch["joints_vis"], ratio,
+                              output_size, num_keypoints, sigma)
+        logits = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            images, train=False)
+        return sbp_loss_per_sample(logits, target), logits
+
+    return (jax.jit(train_step, donate_argnums=(0,)), jax.jit(eval_step))
+
+
+def make_spm_steps(model, optimizer, input_size: int, output_size: int,
+                   num_keypoints: int, sigma: float, augment: dict = None):
+    """SPM steps.  batch: image uint8 [B,S,S,3], joints [B,P,K,2],
+    centers [B,P,1,2] (input px).  Train augmentation is color jitter only,
+    mirroring the reference's SPM transform list (rotate/RRC commented out,
+    dataset/spm_coco_dataset.py:228-241)."""
+    ratio = output_size / input_size
+    augment = augment or {}
+    jitter = tuple(augment.get("color_jitter", (0.5, 0.2, 0.5, 0.1)))
+
+    def _targets(joints, centers):
+        # the reference casts output-res keypoints to int64
+        # (dataset/spm_coco_dataset.py:73)
+        j = jnp.floor(joints * ratio)
+        c = jnp.floor(centers * ratio)
+        fn = functools.partial(spm_target, output_res=output_size,
+                               num_joints=num_keypoints, sigma=sigma)
+        maps = jax.vmap(lambda cc, jj: fn(cc, jj))(c, j)  # [B, 1+2K, h, w]
+        return jnp.transpose(maps, (0, 2, 3, 1))
+
+    def train_step(state, batch, rng):
+        images = batch["image"].astype(jnp.float32) / 255.0
+        keys = jax.random.split(rng, images.shape[0])
+        images = jax.vmap(lambda k, im: color_jitter(k, im, *jitter))(
+            keys, images)
+        target = _targets(batch["joints"], batch["centers"])
+
+        def loss_fn(params):
+            logits, mutated = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                images, train=True, mutable=["batch_stats"])
+            return spm_loss(logits, target), mutated["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads=grads, batch_stats=new_stats)
+        return state, loss
+
+    def eval_step(state, batch):
+        images = normalize_batch(batch["image"])
+        target = _targets(batch["joints"], batch["centers"])
+        logits = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            images, train=False)
+        return spm_loss_per_sample(logits, target), logits
+
+    return (jax.jit(train_step, donate_argnums=(0,)), jax.jit(eval_step))

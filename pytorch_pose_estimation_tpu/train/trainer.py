@@ -1,0 +1,273 @@
+"""Training orchestration: the TPU-native replacement for pl.Trainer.
+
+Reproduces the reference training contract (train_sbp.py:55-79):
+* validation every ``trainer_options.check_val_every_n_epoch`` epochs,
+* TensorBoard logs (train_loss / val_loss / val_mAP / lr-step),
+* checkpoints under ``saved/<model>_<dataset>/version_N/checkpoints``
+  with best-by-val_loss + last,
+* early stopping on val_loss with patience 30 validation rounds,
+* optional partial warm start from ``model_pretrained``.
+
+TPU-native mechanics: one jitted step fuses augmentation + target
+generation + fwd/bwd/update; the batch is sharded over a 1-D device mesh
+(data parallelism over ICI); the host loader prefetches while the device
+runs; eval decodes whole batches on device and pads ragged tails to keep
+shapes static.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import make_model_name
+from ..eval.metrics import SBPmAPCOCO, SBPmAPPIS, SPMmAPCOCO
+from ..models import SBP, SPM
+from ..models.summary import print_summary
+from ..optim import build_optimizer_from_cfg
+from ..parallel.mesh import (batch_sharding, make_mesh, replicated_sharding,
+                             select_devices)
+from .checkpoint import (CheckpointManager, load_pretrained,
+                         next_version_dir, restore_checkpoint)
+from .state import create_train_state
+from .steps import make_sbp_steps, make_spm_steps
+
+try:
+    from tensorboardX import SummaryWriter
+except ImportError:  # pragma: no cover
+    SummaryWriter = None
+
+
+def apply_precision_config(cfg: dict) -> str:
+    """'bf16' (default): bf16 conv/matmul compute; 'fp32': fp32 with
+    highest-precision MXU passes (needed for decode-level parity)."""
+    precision = cfg.get("precision", "bf16")
+    if precision == "fp32":
+        jax.config.update("jax_default_matmul_precision", "highest")
+    return precision
+
+
+def build_model(cfg: dict, kind: str):
+    precision = apply_precision_config(cfg)
+    dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    if kind == "spm":
+        return SPM(num_keypoints=cfg["num_keypoints"], dtype=dtype)
+    return SBP(num_keypoints=cfg["num_keypoints"], dtype=dtype)
+
+
+def build_metric(cfg: dict, kind: str):
+    if kind == "spm":
+        return SPMmAPCOCO(cfg["val_path"], cfg["input_size"], cfg["sigma"],
+                          cfg["conf_threshold"],
+                          cfg.get("max_persons", 30))
+    cls = SBPmAPPIS if kind == "pis" else SBPmAPCOCO
+    return cls(cfg["val_path"], cfg["input_size"], cfg["conf_threshold"])
+
+
+def load_for_inference(cfg: dict, ckpt: Optional[str], kind: str = "sbp"):
+    """Build the model, restore a checkpoint, and return (variables,
+    jitted_forward) where forward maps uint8/float NHWC images -> logits."""
+    model = build_model(cfg, kind)
+    if kind == "spm":
+        in_shape = (1, cfg["input_size"], cfg["input_size"], 3)
+    else:
+        in_shape = (1, cfg["input_size"][0], cfg["input_size"][1], 3)
+    optimizer, _ = build_optimizer_from_cfg(cfg)
+    state = create_train_state(model, optimizer, in_shape)
+    if ckpt:
+        state = restore_checkpoint(ckpt, state)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    @jax.jit
+    def forward(images):
+        images = images.astype(jnp.float32)
+        return model.apply(variables, images, train=False)
+
+    return variables, forward
+
+
+class Trainer:
+    def __init__(self, cfg: dict, data_module, kind: str = "sbp",
+                 logging: bool = True):
+        assert kind in ("sbp", "spm", "pis")
+        self.cfg = cfg
+        self.kind = kind
+        self.dm = data_module
+
+        self.devices = select_devices(cfg.get("devices", "auto"))
+        self.mesh = make_mesh(self.devices)
+        self.n_devices = len(self.devices)
+        self.batch_sharding = batch_sharding(self.mesh)
+        self.replicated = replicated_sharding(self.mesh)
+
+        self.model = build_model(cfg, kind)
+        self.optimizer, self.schedule = build_optimizer_from_cfg(cfg)
+
+        if kind == "spm":
+            in_shape = (1, cfg["input_size"], cfg["input_size"], 3)
+            self.train_step, self.eval_step = make_spm_steps(
+                self.model, self.optimizer, cfg["input_size"],
+                cfg["output_size"], cfg["num_keypoints"], cfg["sigma"])
+        else:
+            in_shape = (1, cfg["input_size"][0], cfg["input_size"][1], 3)
+            self.train_step, self.eval_step = make_sbp_steps(
+                self.model, self.optimizer, cfg["input_size"],
+                tuple(cfg["output_size"]), cfg["num_keypoints"], cfg["sigma"])
+
+        self.state = create_train_state(self.model, self.optimizer, in_shape)
+        self.state = jax.device_put(self.state, self.replicated)
+
+        if cfg.get("model_pretrained"):
+            path = cfg["model_pretrained"]
+            if os.path.exists(path):
+                self.state = load_pretrained(self.state, path)
+                self.state = jax.device_put(self.state, self.replicated)
+                print(f"warm-started from {path}")
+            else:
+                print(f"model_pretrained not found, skipping: {path}")
+
+        self.metric = build_metric(cfg, kind) if cfg.get("val_path") and \
+            os.path.exists(cfg["val_path"]) else None
+
+        self.logging = logging
+        self.version_dir = None
+        self.writer = None
+        self.ckpt = None
+        if logging:
+            self.version_dir = next_version_dir(
+                cfg.get("save_dir", "./saved"), make_model_name(cfg))
+            self.ckpt = CheckpointManager(
+                os.path.join(self.version_dir, "checkpoints"))
+            if SummaryWriter is not None:
+                self.writer = SummaryWriter(self.version_dir)
+
+        self.global_step = 0
+        self.log_every = int(cfg.get("log_every_n_steps", 50))
+
+    # ------------------------------------------------------------------
+    def summary(self):
+        if self.kind == "spm":
+            shape = (1, self.cfg["input_size"], self.cfg["input_size"], 3)
+        else:
+            shape = (1, self.cfg["input_size"][0],
+                     self.cfg["input_size"][1], 3)
+        print_summary(self.model, shape)
+
+    def _log(self, tag: str, value: float, step: int):
+        if self.writer is not None:
+            self.writer.add_scalar(tag, value, step)
+
+    def _device_batch(self, batch: dict, keys):
+        return {k: jax.device_put(batch[k], self.batch_sharding)
+                for k in keys if k in batch}
+
+    def _pad_to_devices(self, batch: dict, keys):
+        """Pad the ragged tail batch up to a multiple of the mesh size."""
+        n = len(batch["image"])
+        m = -(-n // self.n_devices) * self.n_devices
+        if m == n:
+            return batch, n
+        out = dict(batch)
+        for k in keys:
+            if k in batch and isinstance(batch[k], np.ndarray):
+                pad = np.repeat(batch[k][:1], m - n, axis=0)
+                out[k] = np.concatenate([batch[k], pad], axis=0)
+        return out, n
+
+    # ------------------------------------------------------------------
+    def fit(self, resume: Optional[str] = None):
+        cfg = self.cfg
+        if resume:
+            self.state = restore_checkpoint(resume, self.state)
+            self.state = jax.device_put(self.state, self.replicated)
+        trainer_options = cfg.get("trainer_options", {}) or {}
+        val_every = int(trainer_options.get("check_val_every_n_epoch", 1))
+        patience = int(cfg.get("early_stop_patience", 30))
+        max_epochs = int(cfg["epochs"])
+
+        train_keys = (("image", "joints", "centers") if self.kind == "spm"
+                      else ("image", "joints", "joints_vis"))
+        rng = jax.random.PRNGKey(cfg.get("seed", 0))
+
+        best_val = float("inf")
+        bad_rounds = 0
+        train_loader = self.dm.train_loader()
+
+        for epoch in range(max_epochs):
+            train_loader.set_epoch(epoch)
+            epoch_losses = []
+            t0 = time.time()
+            n_img = 0
+            for batch in train_loader:
+                rng, step_key = jax.random.split(rng)
+                dev_batch = self._device_batch(batch, train_keys)
+                self.state, loss = self.train_step(self.state, dev_batch,
+                                                   step_key)
+                self.global_step += 1
+                n_img += len(batch["image"])
+                if self.global_step % self.log_every == 0:
+                    loss_f = float(loss)
+                    epoch_losses.append(loss_f)
+                    self._log("train_loss", loss_f, self.global_step)
+                    self._log("lr-step", float(self.schedule(
+                        self.global_step - 1)), self.global_step)
+            dt = time.time() - t0
+            mean_loss = float(np.mean(epoch_losses)) if epoch_losses else \
+                float(loss)
+            print(f"epoch {epoch}: train_loss={mean_loss:.4f} "
+                  f"({n_img / max(dt, 1e-9):.1f} img/s)")
+
+            val_loss = None
+            if (epoch + 1) % val_every == 0 and self.dm.val_db:
+                val_loss, val_map = self.validate(verbose=False)
+                self._log("val_loss", val_loss, self.global_step)
+                self._log("val_mAP", val_map, self.global_step)
+                print(f"epoch {epoch}: val_loss={val_loss:.4f} "
+                      f"val_mAP={val_map:.4f}")
+                if self.ckpt and (epoch + 1) % int(
+                        cfg.get("save_freq", 1)) == 0:
+                    self.ckpt.save_epoch(self.state, epoch, val_loss)
+                if val_loss < best_val - 1e-12:
+                    best_val = val_loss
+                    bad_rounds = 0
+                else:
+                    bad_rounds += 1
+            if self.ckpt:
+                self.ckpt.save_last(self.state, epoch, val_loss)
+            if bad_rounds >= patience:
+                print(f"early stopping at epoch {epoch} "
+                      f"(no val_loss improvement in {patience} rounds)")
+                break
+        return self.state
+
+    # ------------------------------------------------------------------
+    def validate(self, ckpt: Optional[str] = None, verbose: bool = True):
+        if ckpt:
+            self.state = restore_checkpoint(ckpt, self.state)
+            self.state = jax.device_put(self.state, self.replicated)
+        if self.metric is not None:
+            self.metric.reset_states()
+
+        eval_keys = (("image", "joints", "centers") if self.kind == "spm"
+                     else ("image", "joints", "joints_vis"))
+        loss_sum, n_total = 0.0, 0
+        for batch in self.dm.val_loader():
+            padded, n_real = self._pad_to_devices(
+                batch, eval_keys + ("bbox", "image_id", "category_id",
+                                    "image_size"))
+            dev_batch = self._device_batch(padded, eval_keys)
+            per_sample, logits = self.eval_step(self.state, dev_batch)
+            loss_sum += float(jnp.sum(per_sample[:n_real]))
+            n_total += n_real
+            if self.metric is not None:
+                self.metric.update_state(padded, logits, count=n_real)
+        val_loss = loss_sum / max(n_total, 1)
+        val_map = self.metric.result(verbose=verbose) if self.metric else 0.0
+        if verbose:
+            print(f"val_loss={val_loss:.4f} val_mAP={val_map:.4f}")
+        return val_loss, val_map

@@ -1,0 +1,167 @@
+"""Host loader + datamodule + device-augmentation unit tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pytorch_pose_estimation_tpu.data.pipeline import HostLoader, collate, pad_batch
+from pytorch_pose_estimation_tpu.ops.image import (
+    _compose,
+    _invert,
+    _reflect101,
+    _rotation_about,
+    affine_warp,
+    augment_batch,
+    color_jitter,
+    sample_train_affine,
+    transform_points,
+)
+
+from synth_fixture import make_dataset
+
+
+def _sample_fn(rec, index, epoch):
+    return {"v": np.asarray([rec["x"], index, epoch], np.int64)}
+
+
+def _db(n):
+    return [{"x": i * 10} for i in range(n)]
+
+
+def test_host_loader_order_and_len():
+    loader = HostLoader(_db(10), _sample_fn, batch_size=4)
+    batches = list(loader)
+    assert len(loader) == 3 and len(batches) == 3
+    assert batches[0]["v"][:, 0].tolist() == [0, 10, 20, 30]
+    assert batches[2]["v"].shape == (2, 3)
+
+
+def test_host_loader_drop_last_and_shuffle_determinism():
+    loader = HostLoader(_db(10), _sample_fn, batch_size=4, shuffle=True,
+                        seed=7, drop_last=True)
+    loader.set_epoch(3)
+    a = [b["v"][:, 0].tolist() for b in loader]
+    loader2 = HostLoader(_db(10), _sample_fn, batch_size=4, shuffle=True,
+                         seed=7, drop_last=True)
+    loader2.set_epoch(3)
+    b = [b["v"][:, 0].tolist() for b in loader2]
+    assert a == b
+    assert len(a) == 2
+    loader2.set_epoch(4)
+    c = [b["v"][:, 0].tolist() for b in loader2]
+    assert a != c  # epoch reshuffles
+
+
+def test_host_loader_process_sharding():
+    full = {v for b in HostLoader(_db(10), _sample_fn, 4) for v in
+            b["v"][:, 0].tolist()}
+    shard0 = {v for b in HostLoader(_db(10), _sample_fn, 4,
+                                    process_index=0, process_count=2)
+              for v in b["v"][:, 0].tolist()}
+    shard1 = {v for b in HostLoader(_db(10), _sample_fn, 4,
+                                    process_index=1, process_count=2)
+              for v in b["v"][:, 0].tolist()}
+    assert shard0 | shard1 == full
+    assert not (shard0 & shard1)
+
+
+def test_pad_batch():
+    b = collate([{"x": np.ones((3,))} for _ in range(5)])
+    p = pad_batch(b, 8)
+    assert p["x"].shape == (8, 3)
+    assert p["pad_mask"].tolist() == [1, 1, 1, 1, 1, 0, 0, 0]
+
+
+def test_sbp_datamodule_sample(tmp_path):
+    from pytorch_pose_estimation_tpu.data import SBPCOCODataModule
+
+    root = str(tmp_path)
+    json_path = make_dataset(root, "val2017", 4, seed=5)
+    dm = SBPCOCODataModule(
+        train_path=json_path, val_path=json_path, img_dir=root,
+        input_size=[128, 96], output_size=[32, 24], num_keypoints=17,
+        sigma=2, workers=2, batch_size=2,
+        class_labels=[str(i) for i in range(17)])
+    dm.setup()
+    batch = next(iter(dm.val_loader()))
+    assert batch["image"].shape == (2, 128, 96, 3)
+    assert batch["image"].dtype == np.uint8
+    assert batch["joints"].shape == (2, 17, 2)
+    # visible joints are inside the resized crop
+    vis = batch["joints_vis"][0] > 0
+    j = batch["joints"][0][vis]
+    assert (j[:, 0] >= 0).all() and (j[:, 0] <= 96).all()
+    assert (j[:, 1] >= 0).all() and (j[:, 1] <= 128).all()
+
+
+# ---------------------------------------------------------------------
+# affine / photometric math
+# ---------------------------------------------------------------------
+
+def test_reflect101():
+    got = np.asarray(_reflect101(jnp.asarray(
+        [-2.0, -1.0, 0.0, 3.0, 4.0, 5.0, 6.0]), 5))
+    np.testing.assert_allclose(got, [2, 1, 0, 3, 4, 3, 2])
+
+
+def test_rotation_about_center():
+    m = _rotation_about(10.0, 10.0, jnp.pi / 2)
+    pts = transform_points(m, jnp.asarray([[10.0, 10.0], [20.0, 10.0]]))
+    np.testing.assert_allclose(np.asarray(pts),
+                               [[10, 10], [10, 20]], atol=1e-5)
+
+
+def test_invert_compose_identity():
+    key = jax.random.PRNGKey(0)
+    m = sample_train_affine(key, (64, 48))
+    ident = _compose(m, _invert(m))
+    np.testing.assert_allclose(np.asarray(ident),
+                               [[1, 0, 0], [0, 1, 0]], atol=1e-4)
+
+
+def test_affine_warp_identity():
+    img = jnp.asarray(np.random.RandomState(0).rand(16, 12, 3)
+                      .astype(np.float32))
+    ident = jnp.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+    out = affine_warp(img, ident, (16, 12))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-6)
+
+
+def test_color_jitter_range_and_determinism():
+    img = jnp.asarray(np.random.RandomState(1).rand(8, 8, 3)
+                      .astype(np.float32))
+    a = color_jitter(jax.random.PRNGKey(3), img)
+    b = color_jitter(jax.random.PRNGKey(3), img)
+    c = color_jitter(jax.random.PRNGKey(4), img)
+    assert float(jnp.min(a)) >= 0.0 and float(jnp.max(a)) <= 1.0
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    assert not np.allclose(np.asarray(a), np.asarray(c))
+
+
+def test_augment_batch_joint_image_consistency():
+    """Stamp a bright dot at a joint; after augmentation the dot must sit at
+    the transformed joint location (image and keypoints ride one affine)."""
+    h, w = 64, 48
+    imgs = np.zeros((4, h, w, 3), np.uint8)
+    joints = np.zeros((4, 1, 2), np.float32)
+    rng = np.random.RandomState(0)
+    for b in range(4):
+        x, y = rng.randint(10, w - 10), rng.randint(10, h - 10)
+        imgs[b, y - 1:y + 2, x - 1:x + 2] = 255
+        joints[b, 0] = (x, y)
+    vis = np.ones((4, 1), np.float32)
+
+    out, new_joints, new_vis = augment_batch(
+        jax.random.PRNGKey(1), jnp.asarray(imgs), jnp.asarray(joints),
+        jnp.asarray(vis), (h, w), 30.0, (0.5, 1.0), (0.8, 1.2),
+        (0.0, 0.0, 0.0, 0.0))
+    out = np.asarray(out)
+    new_joints = np.asarray(new_joints)
+    for b in range(4):
+        if not float(new_vis[b, 0]):
+            continue
+        x, y = new_joints[b, 0]
+        yy, xx = np.unravel_index(np.argmax(out[b].sum(-1)), (h, w))
+        dist = np.hypot(xx - x, yy - y)
+        assert dist < 4.0, (b, (x, y), (xx, yy))

@@ -1,0 +1,40 @@
+"""Train the SBP-PIS (11-keypoint upper-body) variant, typically
+warm-started from COCO backbone weights via cfg['model_pretrained']
+(reference: train_sbp_pis.py).
+
+    python train_sbp_pis.py --cfg configs/sbp_pis.yaml [--resume CKPT]
+"""
+
+import argparse
+
+from pytorch_pose_estimation_tpu.config import get_configs
+from pytorch_pose_estimation_tpu.data import SBPPISDataModule
+from pytorch_pose_estimation_tpu.train import Trainer
+
+
+def train(cfg, resume=None):
+    data_module = SBPPISDataModule(
+        train_path=cfg["train_path"],
+        val_path=cfg["val_path"],
+        input_size=cfg["input_size"],
+        output_size=cfg["output_size"],
+        num_keypoints=cfg["num_keypoints"],
+        sigma=cfg["sigma"],
+        workers=cfg["workers"],
+        batch_size=cfg["batch_size"],
+        class_labels=cfg["class_labels"],
+    )
+    data_module.prepare_data()
+    data_module.setup()
+
+    trainer = Trainer(cfg, data_module, kind="pis")
+    trainer.summary()
+    trainer.fit(resume=resume)
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--cfg", required=True, type=str, help="config file")
+    parser.add_argument("--resume", type=str, default=None)
+    args = parser.parse_args()
+    train(get_configs(args.cfg), args.resume)
