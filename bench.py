@@ -15,35 +15,42 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_tpu_sbp(batch: int = 256, iters: int = 30, warmup: int = 5):
+def bench_tpu_sbp(batch: int = 256, iters: int = 20):
+    """Timing rules learned on this tunnel backend (see verify skill):
+    block_until_ready() does not actually block, and host<->device
+    transfers are very slow -- so (1) inputs are created on device and
+    materialized with a scalar readback before timing, (2) iterations are
+    chained through a real tensor dependency inside one jitted fori_loop,
+    and (3) the clock stops on a 4-byte scalar readback."""
+    import functools
+
     import jax
     import jax.numpy as jnp
 
     from pytorch_pose_estimation_tpu.models import SBP
 
     model = SBP(num_keypoints=17, dtype=jnp.bfloat16)
-    images = jnp.zeros((batch, 256, 192, 3), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), images)
-
-    # Chain iterations through a data dependency inside one jitted loop so
-    # the timing cannot be defeated by async dispatch or duplicate elision.
-    import functools
+    images = jax.random.uniform(jax.random.PRNGKey(0),
+                                (batch, 256, 192, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(1), images)
+    float(jnp.sum(images))  # materialize on device
 
     @functools.partial(jax.jit, static_argnums=(2,))
     def forward_n(variables, images, n):
         def body(_, carry):
             im, acc = carry
             out = model.apply(variables, im, train=False)
-            acc = acc + jnp.float32(out[0, 0, 0, 0])
-            # fold the (tiny) accumulator back into the input: the apply is
-            # no longer loop-invariant, so XLA cannot hoist or elide it
-            return im + acc * jnp.float32(1e-20), acc
+            # feed part of the output back into the input so no iteration
+            # can be hoisted, elided, or overlapped past its dependency
+            delta = jnp.pad(out[:, :, :, :3] * 1e-6,
+                            ((0, 0), (0, 192), (0, 144), (0, 0)))
+            return im + delta, acc + out[0, 0, 0, 0]
         _, acc = jax.lax.fori_loop(0, n, body, (images, jnp.float32(0)))
         return acc
 
-    forward_n(variables, images, warmup).block_until_ready()
+    float(forward_n(variables, images, iters))  # compile + warm
     t0 = time.perf_counter()
-    forward_n(variables, images, iters).block_until_ready()
+    float(forward_n(variables, images, iters))  # scalar readback = sync
     dt = time.perf_counter() - t0
     ips = batch * iters / dt
     log(f"TPU SBP batch={batch}: {ips:.1f} img/s "
