@@ -21,7 +21,7 @@ from typing import Optional
 import numpy as np
 
 from ..data.coco import CocoAnnotations
-from ..ops.decode import decode_sbp_batch, decode_spm
+from ..ops.decode import decode_sbp_fast, decode_spm
 from .cocoeval import KeypointEvaluator
 
 
@@ -59,7 +59,7 @@ class SBPmAPCOCO:
         """target: dict with 'bbox' [B,4], 'image_id' [B], 'category_id' [B];
         y_pred: NHWC logits [B, H, W, K] (device array ok).
         ``count`` limits to the first N rows (masked padded-batch eval)."""
-        joints = np.asarray(decode_sbp_batch(
+        joints = np.asarray(decode_sbp_fast(
             y_pred, int(self.input_size[1]), self.conf_threshold, True))
         bbox = np.asarray(target["bbox"], np.float64)
         img_ids = np.asarray(target["image_id"])
@@ -90,7 +90,7 @@ class SBPmAPPIS(SBPmAPCOCO):
     (reference: utils/sbp_pis_utils.py:40)."""
 
     def update_state(self, target: dict, y_pred, count: int = None) -> None:
-        joints = np.asarray(decode_sbp_batch(
+        joints = np.asarray(decode_sbp_fast(
             y_pred, int(self.input_size[1]), self.conf_threshold, True))
         bbox = np.asarray(target["bbox"], np.float64)
         img_ids = np.asarray(target["image_id"])

@@ -8,6 +8,7 @@ from .targets import (
     SPMTargetGenerator,
 )
 from .decode import (
+    decode_sbp_fast,
     decode_sbp,
     decode_sbp_batch,
     DecodeSBP,
@@ -25,6 +26,7 @@ __all__ = [
     "SPMTargetGenerator",
     "decode_sbp",
     "decode_sbp_batch",
+    "decode_sbp_fast",
     "DecodeSBP",
     "decode_spm",
     "DecodeSPM",

@@ -84,6 +84,19 @@ def decode_sbp_batch(logits_nhwk: jnp.ndarray, input_w: int,
     return joints.at[..., :2].multiply(scale)
 
 
+def decode_sbp_fast(logits_nhwk: jnp.ndarray, input_w: int,
+                    conf_threshold: float, pred: bool = True) -> jnp.ndarray:
+    """Backend-dispatching batched decode: Pallas fused kernel on TPU
+    (bit-identical to decode_sbp_batch), XLA formulation elsewhere."""
+    if jax.default_backend() == "tpu":
+        from .pallas.decode import decode_sbp_pallas
+
+        return decode_sbp_pallas(logits_nhwk, int(input_w),
+                                 float(conf_threshold), bool(pred))
+    return decode_sbp_batch(logits_nhwk, int(input_w), float(conf_threshold),
+                            bool(pred))
+
+
 class DecodeSBP:
     """Reference-compatible decoder object (utils/sbp_utils.py:85-118).
 

@@ -146,6 +146,20 @@ def spm_target(centers: jnp.ndarray, joints: jnp.ndarray, output_res: int,
     return jnp.concatenate([hm, disp], axis=0)
 
 
+def sbp_heatmaps_batch(joints: jnp.ndarray, output_res: Tuple[int, int],
+                       num_joints: int, sigma: float) -> jnp.ndarray:
+    """Batched [B, K, 2] -> [B, K, H, W], dispatching to the Pallas kernel
+    on TPU (bit-identical, measured slightly faster) and the vmapped XLA
+    formulation elsewhere (incl. interpret-mode-free CPU tests)."""
+    if jax.default_backend() == "tpu":
+        from .pallas.heatmap import sbp_heatmaps_pallas
+
+        return sbp_heatmaps_pallas(joints, tuple(output_res), float(sigma))
+    fn = functools.partial(sbp_heatmaps, output_res=tuple(output_res),
+                           num_joints=num_joints, sigma=float(sigma))
+    return jax.vmap(fn)(joints)
+
+
 class SBPHeatmapGenerator:
     """Callable wrapper with the reference's constructor surface
     (reference: utils/sbp_utils.py:20-31).  vmap over a batch with
@@ -165,9 +179,9 @@ class SBPHeatmapGenerator:
                             self.num_joints, self.sigma)
 
     def batch(self, joints_batch) -> jnp.ndarray:
-        fn = functools.partial(sbp_heatmaps, output_res=self.output_res,
-                               num_joints=self.num_joints, sigma=self.sigma)
-        return jax.vmap(fn)(jnp.asarray(joints_batch, jnp.float32))
+        return sbp_heatmaps_batch(jnp.asarray(joints_batch, jnp.float32),
+                                  self.output_res, self.num_joints,
+                                  self.sigma)
 
 
 class SPMTargetGenerator:

@@ -21,18 +21,19 @@ import jax.numpy as jnp
 from ..losses import (sbp_loss, sbp_loss_per_sample, spm_loss,
                       spm_loss_per_sample)
 from ..ops.image import augment_batch, color_jitter, normalize_batch
-from ..ops.targets import sbp_heatmaps, spm_target
+from ..ops.targets import sbp_heatmaps_batch, spm_target
 
 
 def _sbp_targets(joints, vis, ratio, output_size, num_keypoints, sigma):
     """joints [B,K,2] input px + vis [B,K] -> NHWC heatmaps [B,h,w,K].
     Scale to output res, invisible -> -1 (the generator's skip sentinel),
     exactly the reference dataset's encode chain
-    (dataset/sbp_coco_dataset.py:71-77)."""
+    (dataset/sbp_coco_dataset.py:71-77).  Uses the Pallas stamping kernel
+    on TPU."""
     scaled = joints * ratio
     scaled = jnp.where(vis[..., None] >= 1, scaled, -1.0)
-    maps = jax.vmap(lambda j: sbp_heatmaps(
-        j, tuple(output_size), num_keypoints, sigma))(scaled)
+    maps = sbp_heatmaps_batch(scaled, tuple(output_size), num_keypoints,
+                              sigma)
     return jnp.transpose(maps, (0, 2, 3, 1))
 
 
