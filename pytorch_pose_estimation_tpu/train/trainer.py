@@ -148,6 +148,12 @@ class Trainer:
 
         self.global_step = 0
         self.log_every = int(cfg.get("log_every_n_steps", 50))
+        # profiling window [start_step, end_step) -> jax.profiler trace into
+        # the run's version dir (replaces the reference's per-image timing
+        # prints as the perf-observability surface, SURVEY.md section 5)
+        prof = (cfg.get("trainer_options") or {}).get("profile_steps")
+        self.profile_steps = tuple(prof) if prof else None
+        self._profiling = False
 
     # ------------------------------------------------------------------
     def summary(self):
@@ -204,11 +210,21 @@ class Trainer:
             t0 = time.time()
             n_img = 0
             for batch in train_loader:
+                if self.profile_steps and \
+                        self.global_step == self.profile_steps[0] and \
+                        not self._profiling:
+                    jax.profiler.start_trace(
+                        self.version_dir or cfg.get("save_dir", "./saved"))
+                    self._profiling = True
                 rng, step_key = jax.random.split(rng)
                 dev_batch = self._device_batch(batch, train_keys)
                 self.state, loss = self.train_step(self.state, dev_batch,
                                                    step_key)
                 self.global_step += 1
+                if self._profiling and \
+                        self.global_step >= self.profile_steps[1]:
+                    jax.profiler.stop_trace()
+                    self._profiling = False
                 n_img += len(batch["image"])
                 if self.global_step % self.log_every == 0:
                     loss_f = float(loss)
