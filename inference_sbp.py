@@ -64,7 +64,8 @@ def inference(cfg, ckpt, save_dir=None, limit=None):
         joints = batch["joints"][0] * ratio
         joints[batch["joints_vis"][0] < 1] = -1
         hms = np.asarray(heatmap_gen(joints))
-        true_joints = np.asarray(true_decoder(hms[None]))
+        true_joints = np.asarray(true_decoder(hms[None])).copy()
+        pred_joints = pred_joints.copy()
 
         for j in (pred_joints, true_joints):
             j[..., 0] = j[..., 0] * (bbox[2] / in_w) + bbox[0]
