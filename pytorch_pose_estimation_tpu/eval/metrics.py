@@ -21,7 +21,7 @@ from typing import Optional
 import numpy as np
 
 from ..data.coco import CocoAnnotations
-from ..ops.decode import decode_sbp_fast, decode_spm
+from ..ops.decode import decode_sbp_fast, decode_spm_batch
 from .cocoeval import KeypointEvaluator
 
 
@@ -122,21 +122,21 @@ class SPMmAPCOCO:
 
     def update_state(self, target: dict, y_pred, count: int = None) -> None:
         """target: dict with 'image_size' [B,2] (w,h), 'image_id',
-        'category_id'; y_pred: NHWC logits [B, H, W, 1+2K]."""
-        y_pred = np.asarray(y_pred)
+        'category_id'; y_pred: NHWC logits [B, H, W, 1+2K].  The whole
+        batch decodes in one vmapped device call."""
+        roots_b, kps_b = decode_spm_batch(
+            y_pred, self.input_size, self.sigma, self.conf_threshold, True,
+            self.max_persons)
+        roots_b = np.asarray(roots_b)
+        kps_b = np.asarray(kps_b)
         image_sizes = np.asarray(target["image_size"], np.float64)
         img_ids = np.asarray(target["image_id"])
         cat_ids = np.asarray(target["category_id"])
-        n = y_pred.shape[0] if count is None else min(count, y_pred.shape[0])
+        n = roots_b.shape[0] if count is None else min(count,
+                                                       roots_b.shape[0])
         for idx in range(n):
-            x = np.transpose(y_pred[idx], (2, 0, 1))  # [1+2K, H, W]
-            roots, kps = decode_spm(x, self.input_size, self.sigma,
-                                    self.conf_threshold, True,
-                                    self.max_persons)
-            roots = np.asarray(roots)
-            kps = np.asarray(kps)
-            keep = roots[:, 2] >= 0
-            kps = kps[keep]
+            keep = roots_b[idx, :, 2] >= 0
+            kps = kps_b[idx][keep].astype(np.float64).copy()
             kps[..., 0] *= image_sizes[idx][0] / self.input_size
             kps[..., 1] *= image_sizes[idx][1] / self.input_size
             for person in kps:

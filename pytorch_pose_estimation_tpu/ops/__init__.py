@@ -13,6 +13,7 @@ from .decode import (
     decode_sbp_batch,
     DecodeSBP,
     decode_spm,
+    decode_spm_batch,
     DecodeSPM,
 )
 
@@ -29,5 +30,6 @@ __all__ = [
     "decode_sbp_fast",
     "DecodeSBP",
     "decode_spm",
+    "decode_spm_batch",
     "DecodeSPM",
 ]

@@ -218,6 +218,24 @@ def decode_spm(x: jnp.ndarray, input_size: int, sigma: float,
     return roots, joints
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
+def decode_spm_batch(logits_nhwc: jnp.ndarray, input_size: int, sigma: float,
+                     conf_threshold: float, pred: bool = True,
+                     max_persons: int = 30
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched SPM decode straight off NHWC logits [B, H, W, 1+2K].
+
+    Returns (roots [B, M, 3], joints [B, M, K, 3]) scaled to input_size;
+    invalid root slots are (-1, -1, -1).  vmaps the bounded-iteration peak
+    NMS so the whole eval batch decodes in one device call.
+    """
+    x = jnp.transpose(logits_nhwc.astype(jnp.float32), (0, 3, 1, 2))
+    fn = functools.partial(decode_spm, input_size=input_size, sigma=sigma,
+                           conf_threshold=conf_threshold, pred=pred,
+                           max_persons=max_persons)
+    return jax.vmap(fn)(x)
+
+
 class DecodeSPM:
     """Reference-compatible SPM decoder (utils/spm_utils.py:203-250).
 

@@ -1,6 +1,7 @@
 from .mesh import (
     batch_sharding,
     make_mesh,
+    maybe_init_distributed,
     replicated_sharding,
     select_devices,
     shard_host_batch,
@@ -8,6 +9,7 @@ from .mesh import (
 
 __all__ = [
     "make_mesh",
+    "maybe_init_distributed",
     "batch_sharding",
     "replicated_sharding",
     "select_devices",

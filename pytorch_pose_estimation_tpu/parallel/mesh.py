@@ -24,6 +24,29 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 
 
+def maybe_init_distributed(cfg: Optional[dict] = None) -> tuple:
+    """Initialize jax.distributed for multi-host runs when configured.
+
+    Triggers on cfg['multihost'] or the standard JAX coordination env vars
+    (JAX_COORDINATOR_ADDRESS / COORDINATOR_ADDRESS).  Returns
+    (process_index, process_count) either way -- feed them to the data
+    modules so each host loads an interleaved shard (the DistributedSampler
+    replacement, see data/pipeline.py).
+    """
+    import os
+
+    want = bool(cfg and cfg.get("multihost")) or \
+        "JAX_COORDINATOR_ADDRESS" in os.environ or \
+        "COORDINATOR_ADDRESS" in os.environ
+    if want and jax.process_count() == 1:
+        try:
+            jax.distributed.initialize()
+        except Exception as e:  # pragma: no cover - single-host fallback
+            print(f"jax.distributed.initialize failed ({e}); "
+                  "continuing single-host")
+    return jax.process_index(), jax.process_count()
+
+
 def select_devices(devices_cfg: Union[str, int, Sequence[int], None]):
     """Resolve the config 'devices' field (reference YAML surface:
     'auto' = all, int n = first n, list = those indices)."""

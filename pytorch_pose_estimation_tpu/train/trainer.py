@@ -30,7 +30,8 @@ from ..eval.metrics import SBPmAPCOCO, SBPmAPPIS, SPMmAPCOCO
 from ..models import SBP, SPM
 from ..models.summary import print_summary
 from ..optim import build_optimizer_from_cfg
-from ..parallel.mesh import (batch_sharding, make_mesh, replicated_sharding,
+from ..parallel.mesh import (batch_sharding, make_mesh,
+                             maybe_init_distributed, replicated_sharding,
                              select_devices)
 from .checkpoint import (CheckpointManager, load_pretrained,
                          next_version_dir, restore_checkpoint)
@@ -99,6 +100,13 @@ class Trainer:
         self.kind = kind
         self.dm = data_module
 
+        # multi-host: init the coordination service if configured and give
+        # this process its interleaved data shard
+        proc_idx, proc_cnt = maybe_init_distributed(cfg)
+        if data_module is not None and proc_cnt > 1:
+            data_module.process_index = proc_idx
+            data_module.process_count = proc_cnt
+
         self.devices = select_devices(cfg.get("devices", "auto"))
         self.mesh = make_mesh(self.devices)
         self.n_devices = len(self.devices)
@@ -121,6 +129,35 @@ class Trainer:
 
         self.state = create_train_state(self.model, self.optimizer, in_shape)
         self.state = jax.device_put(self.state, self.replicated)
+
+        if cfg.get("backbone_pretrained") == "tiny-imagenet":
+            # reference loads ckpt/darknet19-tiny-imagenet.ckpt from cwd
+            # (models/backbone/darknet.py:138-150); import the torch ckpt
+            ckpt_path = os.path.join(os.getcwd(),
+                                     "ckpt/darknet19-tiny-imagenet.ckpt")
+            if os.path.exists(ckpt_path):
+                from ..models.torch_import import import_torch_checkpoint
+                from .checkpoint import _merge
+
+                imported = import_torch_checkpoint(ckpt_path)
+                params = dict(self.state.params)
+                stats = dict(self.state.batch_stats)
+                if "backbone" in imported["params"]:
+                    bb = imported["params"]["backbone"]
+                    bb_s = imported["batch_stats"]["backbone"]
+                else:  # classifier-layout ckpt: stages at the top level
+                    bb = {k: v for k, v in imported["params"].items()
+                          if k != "classifier"}
+                    bb_s = {k: v for k, v in
+                            imported["batch_stats"].items()
+                            if k != "classifier"}
+                params["backbone"] = _merge(params["backbone"], bb)
+                stats["backbone"] = _merge(stats["backbone"], bb_s)
+                self.state = self.state.replace(params=params,
+                                                batch_stats=stats)
+                print(f"backbone warm-started from {ckpt_path}")
+            else:
+                print(f"backbone_pretrained ckpt not found: {ckpt_path}")
 
         if cfg.get("model_pretrained"):
             path = cfg["model_pretrained"]
@@ -186,8 +223,26 @@ class Trainer:
         return out, n
 
     # ------------------------------------------------------------------
+    def _find_auto_resume(self) -> Optional[str]:
+        """Latest version dir's 'last' checkpoint (preemption recovery)."""
+        base = os.path.join(self.cfg.get("save_dir", "./saved"),
+                            make_model_name(self.cfg))
+        if not os.path.isdir(base):
+            return None
+        versions = sorted(
+            (d for d in os.listdir(base) if d.startswith("version_")),
+            key=lambda d: int(d.split("_")[1]), reverse=True)
+        for v in versions:
+            last = os.path.join(base, v, "checkpoints", "last")
+            if os.path.isdir(last):
+                return last
+        return None
+
     def fit(self, resume: Optional[str] = None):
         cfg = self.cfg
+        if resume == "auto":
+            resume = self._find_auto_resume()
+            print(f"auto-resume: {resume or 'no checkpoint found'}")
         if resume:
             self.state = restore_checkpoint(resume, self.state)
             self.state = jax.device_put(self.state, self.replicated)
