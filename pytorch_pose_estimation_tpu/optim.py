@@ -226,6 +226,24 @@ def get_optimizer(name: str, lr: float = 1e-3, schedule: Schedule = None,
     return factory(schedule, **options)
 
 
+def freeze_subtrees(optimizer: optax.GradientTransformation,
+                    frozen_names: Sequence[str]
+                    ) -> optax.GradientTransformation:
+    """Zero updates for top-level param subtrees named in ``frozen_names``
+    (e.g. ['backbone']) -- the functional equivalent of the reference's
+    set_parameter_requires_grad freeze helper (utils/utility.py:17-20),
+    used for fine-tuning with a frozen trunk."""
+    frozen = set(frozen_names)
+
+    def labels(params):
+        return {k: jax.tree_util.tree_map(
+                    lambda _: "freeze" if k in frozen else "train", v)
+                for k, v in params.items()}
+
+    return optax.multi_transform(
+        {"train": optimizer, "freeze": optax.set_to_zero()}, labels)
+
+
 def build_optimizer_from_cfg(cfg: dict) -> tuple:
     """Construct (optimizer, schedule) from a flat experiment config dict.
 
@@ -245,4 +263,6 @@ def build_optimizer_from_cfg(cfg: dict) -> tuple:
         schedule = lambda count: jnp.asarray(lr, jnp.float32)  # noqa: E731
 
     opt = get_optimizer(cfg["optimizer"], lr=lr, schedule=schedule, **opt_options)
+    if cfg.get("freeze"):
+        opt = freeze_subtrees(opt, cfg["freeze"])
     return opt, schedule

@@ -146,9 +146,14 @@ def make_pis_dataset(outdir: str, split: str, n_images: int,
         cv2.imwrite(path, img)
         images.append({"id": img_id, "file_name": path,
                        "width": W, "height": H})
+        # PIS GT annotations are 17-slot COCO keypoints with the 6 lower-body
+        # slots zeroed (the reference's 11-kp detections are padded with 18
+        # zeros to score against 17-kp OKS eval, utils/sbp_pis_utils.py:40,
+        # which only adds up if the GT is 17-slot too)
         kps = []
         for (jx, jy) in joints:
             kps.extend([float(jx), float(jy), 2])
+        kps.extend([0, 0, 0] * 6)
         annotations.append({
             "id": img_id, "image_id": img_id, "category_id": 1,
             "iscrowd": 0, "area": float(pw * ph),
@@ -160,9 +165,8 @@ def make_pis_dataset(outdir: str, split: str, n_images: int,
         "annotations": annotations,
         "categories": [{
             "id": 1, "name": "person", "supercategory": "person",
-            "keypoints": COCO_KP_NAMES[:11],
-            "skeleton": [[1, 2], [1, 3], [2, 4], [3, 5], [6, 8], [7, 9],
-                         [8, 10], [9, 11], [6, 7]],
+            "keypoints": COCO_KP_NAMES,
+            "skeleton": COCO_SKELETON,
         }],
     }
     json_path = os.path.join(ann_dir, f"pis_person_keypoints_{split}.json")
