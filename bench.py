@@ -95,8 +95,46 @@ def bench_torch_cpu_sbp(batch: int = 4, iters: int = 3):
     return ips
 
 
+def bench_tpu_latency(iters: int = 50):
+    """Batch-1 on-device forward latency (the reference's perf probe is a
+    per-image ms print, inference_sbp.py:70-74)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from pytorch_pose_estimation_tpu.models import SBP
+    from pytorch_pose_estimation_tpu.ops.pallas.decode import decode_sbp_pallas
+
+    model = SBP(num_keypoints=17, dtype=jnp.bfloat16)
+    image = jax.random.uniform(jax.random.PRNGKey(0), (1, 256, 192, 3),
+                               jnp.float32)
+    variables = model.init(jax.random.PRNGKey(1), image)
+    float(jnp.sum(image))
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def fwd_decode_n(variables, image, n):
+        def body(_, carry):
+            im, acc = carry
+            out = model.apply(variables, im, train=False)
+            joints = decode_sbp_pallas(out, 192, 0.25, True)
+            delta = jnp.zeros_like(im).at[0, 0, 0, 0].set(
+                joints[0, 0, 2] * 1e-6)
+            return im + delta, acc + joints[0, 0, 2]
+        _, acc = jax.lax.fori_loop(0, n, body, (image, jnp.float32(0)))
+        return acc
+
+    float(fwd_decode_n(variables, image, iters))
+    t0 = time.perf_counter()
+    float(fwd_decode_n(variables, image, iters))
+    ms = (time.perf_counter() - t0) / iters * 1000
+    log(f"TPU SBP batch=1 forward+decode latency: {ms:.3f} ms/image")
+    return ms
+
+
 def main():
     tpu_ips = bench_tpu_sbp()
+    bench_tpu_latency()
     cpu_ips = bench_torch_cpu_sbp()
     print(json.dumps({
         "metric": "sbp_256x192_inference_throughput",

@@ -1,0 +1,63 @@
+"""Trainer helper unit tests (no heavy compiles)."""
+
+import os
+
+import numpy as np
+
+from pytorch_pose_estimation_tpu.config import get_configs
+from pytorch_pose_estimation_tpu.train.trainer import Trainer
+
+
+def _mk_trainer(tmp_path, **over):
+    cfg = get_configs("configs/sbp_coco.yaml")
+    cfg.update({
+        "train_path": "/nonexistent",
+        "val_path": "/nonexistent",
+        "img_dir": "/nonexistent",
+        "input_size": [64, 64],
+        "output_size": [16, 16],
+        "save_dir": str(tmp_path / "saved"),
+        "devices": 2,
+        "precision": "fp32",
+    })
+    cfg.update(over)
+
+    class DummyDM:
+        train_db = []
+        val_db = []
+
+    return Trainer(cfg, DummyDM(), kind="sbp", logging=False)
+
+
+def test_pad_to_devices(tmp_path):
+    tr = _mk_trainer(tmp_path)
+    batch = {"image": np.zeros((5, 4, 4, 3), np.uint8),
+             "joints": np.zeros((5, 17, 2), np.float32)}
+    padded, n = tr._pad_to_devices(batch, ("image", "joints"))
+    assert n == 5
+    assert padded["image"].shape[0] == 6  # next multiple of 2
+    np.testing.assert_array_equal(padded["image"][5], padded["image"][0])
+
+    batch = {"image": np.zeros((4, 4, 4, 3), np.uint8)}
+    same, n = tr._pad_to_devices(batch, ("image",))
+    assert n == 4 and same["image"].shape[0] == 4
+
+
+def test_find_auto_resume(tmp_path):
+    tr = _mk_trainer(tmp_path)
+    assert tr._find_auto_resume() is None
+
+    base = os.path.join(str(tmp_path / "saved"),
+                        "simple-baselines-pose_coco-keypoints")
+    # version_0 has no 'last'; version_2 does; version_1 does too -> pick 2
+    os.makedirs(os.path.join(base, "version_0", "checkpoints"))
+    os.makedirs(os.path.join(base, "version_1", "checkpoints", "last"))
+    os.makedirs(os.path.join(base, "version_2", "checkpoints", "last"))
+    found = tr._find_auto_resume()
+    assert found and found.endswith(os.path.join("version_2", "checkpoints",
+                                                 "last"))
+
+
+def test_metric_absent_without_val(tmp_path):
+    tr = _mk_trainer(tmp_path)
+    assert tr.metric is None
