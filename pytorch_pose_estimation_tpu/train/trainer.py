@@ -308,7 +308,8 @@ class Trainer:
                     bad_rounds = 0
                 else:
                     bad_rounds += 1
-            if self.ckpt:
+            if self.ckpt and (epoch + 1) % int(
+                    cfg.get("save_last_every_n_epochs", 1)) == 0:
                 self.ckpt.save_last(self.state, epoch, val_loss)
             if bad_rounds >= patience:
                 print(f"early stopping at epoch {epoch} "

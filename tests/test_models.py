@@ -84,3 +84,25 @@ def test_sbp_forward_matches_torch(train):
     out_nchw = np.transpose(np.asarray(out), (0, 3, 1, 2))
     assert ref.shape == out_nchw.shape
     np.testing.assert_allclose(out_nchw, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_hourglass_blocks():
+    from pytorch_pose_estimation_tpu.models.hourglass import Hourglass, Residual
+
+    x = jnp.zeros((1, 32, 32, 16))
+    res = Residual(features=32)
+    v = res.init(jax.random.PRNGKey(0), x)
+    assert res.apply(v, x).shape == (1, 32, 32, 32)
+
+    hg = Hourglass(depth=3, features=16)
+    v = hg.init(jax.random.PRNGKey(0), x)
+    assert hg.apply(v, x).shape == (1, 32, 32, 16)
+
+
+def test_make_divisible():
+    from pytorch_pose_estimation_tpu.utility import make_divisible
+
+    assert make_divisible(16) == 16
+    assert make_divisible(17) == 16
+    assert make_divisible(23) == 24
+    assert make_divisible(7, 8) == 8
