@@ -86,7 +86,8 @@ def load_for_inference(cfg: dict, ckpt: Optional[str], kind: str = "sbp"):
 
     @jax.jit
     def forward(images):
-        images = images.astype(jnp.float32)
+        # uint8 pixel batches -> the training pipeline's Normalize(0, 1)
+        images = images.astype(jnp.float32) / 255.0
         return model.apply(variables, images, train=False)
 
     return variables, forward

@@ -61,3 +61,26 @@ def test_find_auto_resume(tmp_path):
 def test_metric_absent_without_val(tmp_path):
     tr = _mk_trainer(tmp_path)
     assert tr.metric is None
+
+
+def test_load_for_inference_matches_eval_normalization(tmp_path):
+    """load_for_inference must apply the same Normalize(0,1) as the eval
+    step (regression: raw 0-255 pixels were fed to the model once)."""
+    import jax
+    import jax.numpy as jnp
+    from pytorch_pose_estimation_tpu.train.trainer import load_for_inference
+    from pytorch_pose_estimation_tpu.train.checkpoint import save_checkpoint
+
+    tr = _mk_trainer(tmp_path, devices=1)
+    ckpt = str(tmp_path / "ck")
+    save_checkpoint(ckpt, tr.state)
+    _, fwd = load_for_inference(tr.cfg, ckpt, kind="sbp")
+
+    img = np.random.RandomState(0).randint(0, 255, (2, 64, 64, 3), np.uint8)
+    batch = {"image": jnp.asarray(img),
+             "joints": jnp.zeros((2, 17, 2), jnp.float32),
+             "joints_vis": jnp.zeros((2, 17), jnp.float32)}
+    _, logits_eval = tr.eval_step(tr.state, batch)
+    logits_inf = fwd(jnp.asarray(img))
+    np.testing.assert_allclose(np.asarray(logits_inf),
+                               np.asarray(logits_eval), atol=1e-5)
