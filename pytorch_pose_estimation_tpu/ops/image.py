@@ -228,14 +228,87 @@ def color_jitter(key, img: jnp.ndarray, brightness: float = 0.5,
 
 
 # --------------------------------------------------------------------------
+# CLAHE (device variant)
+# --------------------------------------------------------------------------
+
+def clahe_luma(img: jnp.ndarray, clip_limit, tiles: int = 8) -> jnp.ndarray:
+    """Contrast-limited adaptive histogram equalization on [H, W, 3] in
+    [0, 1], applied to the YCbCr luma channel.
+
+    The host path (data/sbp_dataset.py::apply_clahe) runs cv2's CLAHE on the
+    LAB L channel, exactly like Albumentations; this device variant uses
+    luma instead of L (the LAB transform is not worth reproducing bit-wise
+    for a random augmentation) and cv2's clip/redistribute/interpolate
+    scheme: per-tile 256-bin histograms, clip at
+    ``clip_limit * tile_area / 256`` with even redistribution, per-tile CDF
+    LUTs, bilinear interpolation between the 4 neighboring tile LUTs.
+
+    H and W must be divisible by ``tiles``.
+    """
+    h, w, _ = img.shape
+    th, tw = h // tiles, w // tiles
+    tile_area = th * tw
+    bins = 256
+
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    y8 = jnp.clip(jnp.round(y * 255.0), 0, 255).astype(jnp.int32)
+
+    # per-tile histograms via one-hot reduction: [T, T, P] x bins
+    tiles_y = y8.reshape(tiles, th, tiles, tw).transpose(0, 2, 1, 3)
+    tiles_y = tiles_y.reshape(tiles, tiles, tile_area)
+    bin_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, bins), 3)
+    hist = jnp.sum(tiles_y[..., None] == bin_ids, axis=2)  # [T, T, 256]
+
+    limit = jnp.maximum(1.0, clip_limit * tile_area / bins)
+    clipped = jnp.minimum(hist.astype(jnp.float32), limit)
+    excess = jnp.sum(hist.astype(jnp.float32) - clipped, axis=-1,
+                     keepdims=True)
+    clipped = clipped + excess / bins
+    cdf = jnp.cumsum(clipped, axis=-1)
+    lut = jnp.round(cdf * ((bins - 1.0) / tile_area))  # [T, T, 256]
+
+    # bilinear interpolation between tile LUTs, tile centers at (i+0.5)*th
+    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    fy = jnp.clip(ys / th - 0.5, 0.0, tiles - 1.0)
+    fx = jnp.clip(xs / tw - 0.5, 0.0, tiles - 1.0)
+    y0 = jnp.floor(fy).astype(jnp.int32)
+    x0 = jnp.floor(fx).astype(jnp.int32)
+    wy = (fy - y0)[..., None]
+    wx = (fx - x0)[..., None]
+    y1 = jnp.minimum(y0 + 1, tiles - 1)
+    x1 = jnp.minimum(x0 + 1, tiles - 1)
+
+    def _sample(ty, tx):
+        l = lut[ty, tx]                       # [H, W, 256]
+        return jnp.take_along_axis(l, y8[..., None], axis=-1)
+
+    v = (_sample(y0, x0) * (1 - wy) * (1 - wx)
+         + _sample(y0, x1) * (1 - wy) * wx
+         + _sample(y1, x0) * wy * (1 - wx)
+         + _sample(y1, x1) * wy * wx)[..., 0] / 255.0
+
+    scale = v / jnp.maximum(y, 1e-6)
+    out = jnp.clip(img * scale[..., None], 0.0, 1.0)
+    return jnp.where(y[..., None] > 1e-6, out, img)
+
+
+# --------------------------------------------------------------------------
 # full pipelines
 # --------------------------------------------------------------------------
 
 def _augment_one(key, img_u8, joints, vis, out_hw, rotate_limit,
-                 scale_range, ratio_range, jitter_params):
+                 scale_range, ratio_range, jitter_params,
+                 clahe_prob=0.0):
     h, w = out_hw
-    k_aff, k_col = jax.random.split(key)
+    k_aff, k_col, k_cl, k_clip = jax.random.split(key, 4)
     img = img_u8.astype(jnp.float32) / 255.0
+    if clahe_prob > 0:
+        clip = jax.random.uniform(k_clip, (), minval=1.0, maxval=4.0)
+        do = jax.random.uniform(k_cl, ()) < clahe_prob
+        img = jax.lax.cond(do, lambda im: clahe_luma(im, clip),
+                           lambda im: im, img)
     fwd = sample_train_affine(k_aff, out_hw, rotate_limit, scale_range,
                               ratio_range)
     inv = _invert(fwd)
@@ -249,24 +322,27 @@ def _augment_one(key, img_u8, joints, vis, out_hw, rotate_limit,
     return img, new_pts, new_vis
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8))
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9))
 def augment_batch(key, images_u8, joints, vis, out_hw: Tuple[int, int],
                   rotate_limit: float = 40.0,
                   scale_range: Tuple[float, float] = (0.4, 1.0),
                   ratio_range: Tuple[float, float] = (0.4, 1.6),
                   jitter_params: Tuple[float, float, float, float] =
-                  (0.5, 0.2, 0.5, 0.1)):
+                  (0.5, 0.2, 0.5, 0.1),
+                  clahe_prob: float = 0.0):
     """Train-time batch augmentation.
 
     images_u8: [B, H, W, 3] uint8; joints: [B, K, 2] in input px;
     vis: [B, K].  Returns (images fp32 [0,1], joints, vis) after a
-    per-example random rotate + random-resized-crop + color jitter.
+    per-example (optional device CLAHE +) random rotate +
+    random-resized-crop + color jitter.
     """
     keys = jax.random.split(key, images_u8.shape[0])
     fn = functools.partial(_augment_one, out_hw=out_hw,
                            rotate_limit=rotate_limit,
                            scale_range=scale_range, ratio_range=ratio_range,
-                           jitter_params=jitter_params)
+                           jitter_params=jitter_params,
+                           clahe_prob=clahe_prob)
     return jax.vmap(fn)(keys, images_u8, joints, vis)
 
 

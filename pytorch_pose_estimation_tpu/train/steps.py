@@ -51,12 +51,14 @@ def make_sbp_steps(model, optimizer, input_size, output_size: Tuple[int, int],
     scale_range = tuple(augment.get("scale_range", (0.4, 1.0)))
     ratio_range = tuple(augment.get("ratio_range", (0.4, 1.6)))
     jitter = tuple(augment.get("color_jitter", (0.5, 0.2, 0.5, 0.1)))
+    clahe_prob = float(augment.get("clahe_prob", 0.0))  # device CLAHE
     out_hw = (int(input_size[0]), int(input_size[1]))
 
     def train_step(state, batch, rng):
         images, joints, vis = augment_batch(
             rng, batch["image"], batch["joints"], batch["joints_vis"],
-            out_hw, rotate_limit, scale_range, ratio_range, jitter)
+            out_hw, rotate_limit, scale_range, ratio_range, jitter,
+            clahe_prob)
         target = _sbp_targets(joints, vis, ratio, output_size,
                               num_keypoints, sigma)
 

@@ -117,6 +117,15 @@ class Trainer:
         self.model = build_model(cfg, kind)
         self.optimizer, self.schedule = build_optimizer_from_cfg(cfg)
 
+        # CLAHE placement: 'host' = cv2-on-crop (exact reference/
+        # Albumentations semantics), 'device' = luma CLAHE fused into the
+        # jitted train step (ops/image.py::clahe_luma), 'off' disables it
+        clahe_mode = cfg.get("clahe", "host")
+        if data_module is not None and clahe_mode != "host" and \
+                hasattr(data_module, "clahe_prob"):
+            data_module.clahe_prob = 0.0
+        augment = {"clahe_prob": 0.5} if clahe_mode == "device" else {}
+
         if kind == "spm":
             in_shape = (1, cfg["input_size"], cfg["input_size"], 3)
             self.train_step, self.eval_step = make_spm_steps(
@@ -126,7 +135,8 @@ class Trainer:
             in_shape = (1, cfg["input_size"][0], cfg["input_size"][1], 3)
             self.train_step, self.eval_step = make_sbp_steps(
                 self.model, self.optimizer, cfg["input_size"],
-                tuple(cfg["output_size"]), cfg["num_keypoints"], cfg["sigma"])
+                tuple(cfg["output_size"]), cfg["num_keypoints"],
+                cfg["sigma"], augment=augment)
 
         self.state = create_train_state(self.model, self.optimizer, in_shape)
         self.state = jax.device_put(self.state, self.replicated)

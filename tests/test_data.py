@@ -165,3 +165,44 @@ def test_augment_batch_joint_image_consistency():
         yy, xx = np.unravel_index(np.argmax(out[b].sum(-1)), (h, w))
         dist = np.hypot(xx - x, yy - y)
         assert dist < 4.0, (b, (x, y), (xx, yy))
+
+
+def test_clahe_luma_vs_cv2():
+    """Device luma CLAHE should behave like cv2 CLAHE on a gray image
+    (where luma == L up to affine), and leave pure black untouched."""
+    import cv2
+
+    rng = np.random.RandomState(0)
+    gray = rng.randint(20, 235, (64, 64), np.uint8)
+    gray = cv2.GaussianBlur(gray, (5, 5), 2)
+    img = np.stack([gray] * 3, axis=-1)
+
+    from pytorch_pose_estimation_tpu.ops.image import clahe_luma
+
+    got = np.asarray(clahe_luma(jnp.asarray(img.astype(np.float32) / 255),
+                                clip_limit=2.0))
+    ref = cv2.createCLAHE(clipLimit=2.0, tileGridSize=(8, 8)).apply(gray)
+
+    # same qualitative equalization: high correlation with cv2's output,
+    # and a real change from the input
+    got8 = (got[..., 0] * 255).astype(np.float64)
+    c = np.corrcoef(got8.ravel(), ref.astype(np.float64).ravel())[0, 1]
+    assert c > 0.98, c
+    assert np.abs(got8 - gray).mean() > 1.0  # actually did something
+
+    # black pixels stay black
+    black = np.zeros((64, 64, 3), np.float32)
+    out = np.asarray(clahe_luma(jnp.asarray(black), 2.0))
+    assert np.abs(out).max() == 0.0
+
+
+def test_augment_batch_with_device_clahe():
+    imgs = np.random.RandomState(1).randint(0, 255, (2, 64, 64, 3), np.uint8)
+    joints = np.full((2, 1, 2), 32.0, np.float32)
+    vis = np.ones((2, 1), np.float32)
+    out, j, v = augment_batch(
+        jax.random.PRNGKey(0), jnp.asarray(imgs), jnp.asarray(joints),
+        jnp.asarray(vis), (64, 64), 10.0, (0.8, 1.0), (0.9, 1.1),
+        (0.0, 0.0, 0.0, 0.0), 1.0)
+    assert np.asarray(out).shape == (2, 64, 64, 3)
+    assert np.isfinite(np.asarray(out)).all()
