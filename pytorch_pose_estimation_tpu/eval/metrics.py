@@ -55,12 +55,22 @@ class SBPmAPCOCO:
             "score": float(sum(tmp_confs) / joints.shape[0]),
         })
 
+    _extra_zero_joints = 0
+
     def update_state(self, target: dict, y_pred, count: int = None) -> None:
         """target: dict with 'bbox' [B,4], 'image_id' [B], 'category_id' [B];
         y_pred: NHWC logits [B, H, W, K] (device array ok).
         ``count`` limits to the first N rows (masked padded-batch eval)."""
-        joints = np.asarray(decode_sbp_fast(
-            y_pred, int(self.input_size[1]), self.conf_threshold, True))
+        joints = decode_sbp_fast(
+            y_pred, int(self.input_size[1]), self.conf_threshold, True)
+        self.update_state_decoded(target, joints, count)
+
+    def update_state_decoded(self, target: dict, joints,
+                             count: int = None) -> None:
+        """Same, but with joints [B, K, 3] already decoded on device
+        (input-size coords) -- the trainer's eval step uses this to keep
+        device->host transfers tiny."""
+        joints = np.asarray(joints)
         bbox = np.asarray(target["bbox"], np.float64)
         img_ids = np.asarray(target["image_id"])
         cat_ids = np.asarray(target["category_id"])
@@ -70,7 +80,8 @@ class SBPmAPCOCO:
             j = joints[idx].astype(np.float64).copy()
             j[:, 0] = j[:, 0] * (bbox[idx][2] / in_w) + bbox[idx][0]
             j[:, 1] = j[:, 1] * (bbox[idx][3] / in_h) + bbox[idx][1]
-            self._pack(j, img_ids[idx], cat_ids[idx])
+            self._pack(j, img_ids[idx], cat_ids[idx],
+                       extra_zero_joints=self._extra_zero_joints)
 
     def result(self, verbose: bool = True) -> float:
         results_json_path = os.path.join(os.getcwd(), "results.json")
@@ -89,19 +100,7 @@ class SBPmAPPIS(SBPmAPCOCO):
     results score against the 17-keypoint OKS evaluator
     (reference: utils/sbp_pis_utils.py:40)."""
 
-    def update_state(self, target: dict, y_pred, count: int = None) -> None:
-        joints = np.asarray(decode_sbp_fast(
-            y_pred, int(self.input_size[1]), self.conf_threshold, True))
-        bbox = np.asarray(target["bbox"], np.float64)
-        img_ids = np.asarray(target["image_id"])
-        cat_ids = np.asarray(target["category_id"])
-        in_h, in_w = self.input_size
-        n = joints.shape[0] if count is None else min(count, joints.shape[0])
-        for idx in range(n):
-            j = joints[idx].astype(np.float64).copy()
-            j[:, 0] = j[:, 0] * (bbox[idx][2] / in_w) + bbox[idx][0]
-            j[:, 1] = j[:, 1] * (bbox[idx][3] / in_h) + bbox[idx][1]
-            self._pack(j, img_ids[idx], cat_ids[idx], extra_zero_joints=6)
+    _extra_zero_joints = 6
 
 
 class SPMmAPCOCO:
@@ -124,9 +123,16 @@ class SPMmAPCOCO:
         """target: dict with 'image_size' [B,2] (w,h), 'image_id',
         'category_id'; y_pred: NHWC logits [B, H, W, 1+2K].  The whole
         batch decodes in one vmapped device call."""
-        roots_b, kps_b = decode_spm_batch(
+        decoded = decode_spm_batch(
             y_pred, self.input_size, self.sigma, self.conf_threshold, True,
             self.max_persons)
+        self.update_state_decoded(target, decoded, count)
+
+    def update_state_decoded(self, target: dict, decoded,
+                             count: int = None) -> None:
+        """decoded: (roots [B,M,3], joints [B,M,K,3]) already decoded on
+        device in input-size coords."""
+        roots_b, kps_b = decoded
         roots_b = np.asarray(roots_b)
         kps_b = np.asarray(kps_b)
         image_sizes = np.asarray(target["image_size"], np.float64)

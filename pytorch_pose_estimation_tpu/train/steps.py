@@ -38,12 +38,17 @@ def _sbp_targets(joints, vis, ratio, output_size, num_keypoints, sigma):
 
 
 def make_sbp_steps(model, optimizer, input_size, output_size: Tuple[int, int],
-                   num_keypoints: int, sigma: float, augment: dict = None):
+                   num_keypoints: int, sigma: float, augment: dict = None,
+                   decode_conf_threshold: float = None):
     """Returns (train_step, eval_step).
 
     train_step(state, batch, rng) -> (state, loss)
       batch: image uint8 [B,H,W,3], joints [B,K,2], joints_vis [B,K]
-    eval_step(state, batch) -> (loss, logits NHWC)
+    eval_step(state, batch) -> (per-sample losses [B], decoded joints
+      [B,K,3] in input coords) when ``decode_conf_threshold`` is set --
+    decoding on device keeps the device->host transfer at K*3 floats per
+    sample instead of the full heatmap volume.  With it unset, returns
+    (losses, logits NHWC).
     """
     ratio = output_size[0] / input_size[0]
     augment = augment or {}
@@ -74,25 +79,37 @@ def make_sbp_steps(model, optimizer, input_size, output_size: Tuple[int, int],
         return state, loss
 
     def eval_step(state, batch):
-        """Returns (per-sample losses [B], logits NHWC) so padded eval rows
-        can be masked on host."""
+        """Returns (per-sample losses [B], decoded joints or logits) --
+        per-sample losses let padded eval rows be masked on host."""
         images = normalize_batch(batch["image"])
         target = _sbp_targets(batch["joints"], batch["joints_vis"], ratio,
                               output_size, num_keypoints, sigma)
         logits = state.apply_fn(
             {"params": state.params, "batch_stats": state.batch_stats},
             images, train=False)
-        return sbp_loss_per_sample(logits, target), logits
+        losses = sbp_loss_per_sample(logits, target)
+        if decode_conf_threshold is not None:
+            from ..ops.decode import decode_sbp_fast
+
+            joints = decode_sbp_fast(logits, int(input_size[1]),
+                                     float(decode_conf_threshold), True)
+            return losses, joints
+        return losses, logits
 
     return (jax.jit(train_step, donate_argnums=(0,)), jax.jit(eval_step))
 
 
 def make_spm_steps(model, optimizer, input_size: int, output_size: int,
-                   num_keypoints: int, sigma: float, augment: dict = None):
+                   num_keypoints: int, sigma: float, augment: dict = None,
+                   decode_conf_threshold: float = None,
+                   max_persons: int = 30):
     """SPM steps.  batch: image uint8 [B,S,S,3], joints [B,P,K,2],
     centers [B,P,1,2] (input px).  Train augmentation is color jitter only,
     mirroring the reference's SPM transform list (rotate/RRC commented out,
-    dataset/spm_coco_dataset.py:228-241)."""
+    dataset/spm_coco_dataset.py:228-241).
+
+    With ``decode_conf_threshold`` set, eval_step returns
+    (losses, (roots [B,M,3], joints [B,M,K,3])) decoded on device."""
     ratio = output_size / input_size
     augment = augment or {}
     jitter = tuple(augment.get("color_jitter", (0.5, 0.2, 0.5, 0.1)))
@@ -131,6 +148,15 @@ def make_spm_steps(model, optimizer, input_size: int, output_size: int,
         logits = state.apply_fn(
             {"params": state.params, "batch_stats": state.batch_stats},
             images, train=False)
-        return spm_loss_per_sample(logits, target), logits
+        losses = spm_loss_per_sample(logits, target)
+        if decode_conf_threshold is not None:
+            from ..ops.decode import decode_spm_batch
+
+            decoded = decode_spm_batch(logits, int(input_size),
+                                       float(sigma),
+                                       float(decode_conf_threshold), True,
+                                       int(max_persons))
+            return losses, decoded
+        return losses, logits
 
     return (jax.jit(train_step, donate_argnums=(0,)), jax.jit(eval_step))

@@ -130,13 +130,16 @@ class Trainer:
             in_shape = (1, cfg["input_size"], cfg["input_size"], 3)
             self.train_step, self.eval_step = make_spm_steps(
                 self.model, self.optimizer, cfg["input_size"],
-                cfg["output_size"], cfg["num_keypoints"], cfg["sigma"])
+                cfg["output_size"], cfg["num_keypoints"], cfg["sigma"],
+                decode_conf_threshold=cfg["conf_threshold"],
+                max_persons=cfg.get("max_persons", 30))
         else:
             in_shape = (1, cfg["input_size"][0], cfg["input_size"][1], 3)
             self.train_step, self.eval_step = make_sbp_steps(
                 self.model, self.optimizer, cfg["input_size"],
                 tuple(cfg["output_size"]), cfg["num_keypoints"],
-                cfg["sigma"], augment=augment)
+                cfg["sigma"], augment=augment,
+                decode_conf_threshold=cfg["conf_threshold"])
 
         self.state = create_train_state(self.model, self.optimizer, in_shape)
         self.state = jax.device_put(self.state, self.replicated)
@@ -344,11 +347,13 @@ class Trainer:
                 batch, eval_keys + ("bbox", "image_id", "category_id",
                                     "image_size"))
             dev_batch = self._device_batch(padded, eval_keys)
-            per_sample, logits = self.eval_step(self.state, dev_batch)
+            per_sample, decoded = self.eval_step(self.state, dev_batch)
             loss_sum += float(jnp.sum(per_sample[:n_real]))
             n_total += n_real
             if self.metric is not None:
-                self.metric.update_state(padded, logits, count=n_real)
+                # eval_step decodes on device; only K*3 floats/sample move
+                self.metric.update_state_decoded(padded, decoded,
+                                                 count=n_real)
         val_loss = loss_sum / max(n_total, 1)
         val_map = self.metric.result(verbose=verbose) if self.metric else 0.0
         if verbose:
