@@ -132,9 +132,51 @@ def bench_tpu_latency(iters: int = 50):
     return ms
 
 
+def bench_tpu_train(batch: int = 256, iters: int = 10):
+    """Full fused train-step throughput (augment + target-gen + fwd/bwd +
+    update) on device-resident uint8 batches.  The state threads a natural
+    dependency between steps; the final loss readback syncs."""
+    import jax
+    import jax.numpy as jnp
+
+    from pytorch_pose_estimation_tpu.models import SBP
+    from pytorch_pose_estimation_tpu.optim import get_optimizer, yolo_lr
+    from pytorch_pose_estimation_tpu.train import create_train_state
+    from pytorch_pose_estimation_tpu.train.steps import make_sbp_steps
+
+    model = SBP(num_keypoints=17, dtype=jnp.bfloat16)
+    opt = get_optimizer("sgd", momentum=0.9, weight_decay=5e-3,
+                        nesterov=True,
+                        schedule=yolo_lr(1e-3, 100, [10 ** 6], [0.1]))
+    train_step, _ = make_sbp_steps(model, opt, (256, 192), (64, 48), 17, 2.0)
+    state = create_train_state(model, opt, (1, 256, 192, 3))
+
+    key = jax.random.PRNGKey(0)
+    batch_dev = {
+        "image": (jax.random.uniform(key, (batch, 256, 192, 3)) * 255
+                  ).astype(jnp.uint8),
+        "joints": jax.random.uniform(key, (batch, 17, 2)) * 180,
+        "joints_vis": jnp.ones((batch, 17), jnp.float32),
+    }
+    float(jnp.sum(batch_dev["joints"]))  # materialize
+
+    state, loss = train_step(state, batch_dev, key)  # compile
+    float(loss)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, loss = train_step(state, batch_dev, jax.random.fold_in(key, i))
+    float(loss)
+    dt = time.perf_counter() - t0
+    ips = batch * iters / dt
+    log(f"TPU SBP fused train step batch={batch}: {ips:.1f} img/s "
+        f"({dt / iters * 1000:.1f} ms/step)")
+    return ips
+
+
 def main():
     tpu_ips = bench_tpu_sbp()
     bench_tpu_latency()
+    bench_tpu_train()
     cpu_ips = bench_torch_cpu_sbp()
     print(json.dumps({
         "metric": "sbp_256x192_inference_throughput",
