@@ -106,3 +106,25 @@ def test_make_divisible():
     assert make_divisible(17) == 16
     assert make_divisible(23) == 24
     assert make_divisible(7, 8) == 8
+
+
+def test_weight_initialize():
+    from pytorch_pose_estimation_tpu.models.initialize import weight_initialize
+
+    model = SBP(num_keypoints=3)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    re_init = weight_initialize(variables["params"], jax.random.PRNGKey(7))
+    # BN scale exactly 1, bias exactly 0
+    bn = re_init["deconv_1"]["bn"]
+    assert (np.asarray(bn["scale"]) == 1).all()
+    assert (np.asarray(bn["bias"]) == 0).all()
+    # conv kernels within xavier bounds and actually re-drawn
+    k = np.asarray(re_init["head"]["kernel"])
+    rf = k.shape[0] * k.shape[1]
+    limit = np.sqrt(6.0 / (rf * k.shape[2] + rf * k.shape[3]))
+    assert np.abs(k).max() <= limit + 1e-6
+    assert not np.allclose(k, np.asarray(variables["params"]["head"]["kernel"]))
+    # tree structure unchanged
+    import jax as _jax
+    assert _jax.tree_util.tree_structure(re_init) == \
+        _jax.tree_util.tree_structure(dict(variables["params"]))
