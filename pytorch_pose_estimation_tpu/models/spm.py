@@ -20,13 +20,15 @@ from .layers import DeconvBnRelu
 class SPM(nn.Module):
     num_keypoints: int = 17
     dtype: Any = jnp.float32
+    remat: bool = False  # see models/sbp.py
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         """x: [B, H, W, 3] -> logits [B, H/4, W/4, 1 + 2*num_keypoints]."""
-        x = Darknet19(features_only=True, dtype=self.dtype, name="backbone")(
-            x, train=train
-        )
+        backbone_cls = nn.remat(Darknet19, static_argnums=(2,)) if self.remat \
+            else Darknet19
+        x = backbone_cls(features_only=True, dtype=self.dtype,
+                         name="backbone")(x, train)
         x = DeconvBnRelu(512, dtype=self.dtype, name="deconv_1")(x, train=train)
         x = DeconvBnRelu(512, dtype=self.dtype, name="deconv_2")(x, train=train)
         x = DeconvBnRelu(512, dtype=self.dtype, name="deconv_3")(x, train=train)

@@ -56,9 +56,11 @@ def apply_precision_config(cfg: dict) -> str:
 def build_model(cfg: dict, kind: str):
     precision = apply_precision_config(cfg)
     dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    remat = bool(cfg.get("remat", False))
     if kind == "spm":
-        return SPM(num_keypoints=cfg["num_keypoints"], dtype=dtype)
-    return SBP(num_keypoints=cfg["num_keypoints"], dtype=dtype)
+        return SPM(num_keypoints=cfg["num_keypoints"], dtype=dtype,
+                   remat=remat)
+    return SBP(num_keypoints=cfg["num_keypoints"], dtype=dtype, remat=remat)
 
 
 def build_metric(cfg: dict, kind: str):
