@@ -146,6 +146,26 @@ class Trainer:
         self.state = create_train_state(self.model, self.optimizer, in_shape)
         self.state = jax.device_put(self.state, self.replicated)
 
+        bp = cfg.get("backbone_pretrained")
+        if bp and bp != "tiny-imagenet" and os.path.isdir(bp):
+            # orbax classifier checkpoint from train_classifier.py:
+            # stage params live at the top level; remap into the backbone
+            import orbax.checkpoint as ocp
+
+            from ..models.darknet import STAGE_NAMES
+            from .checkpoint import _merge
+
+            tree = ocp.PyTreeCheckpointer().restore(os.path.abspath(bp))
+            bb = {k: v for k, v in tree["params"].items()
+                  if k in STAGE_NAMES}
+            bb_s = {k: v for k, v in tree["batch_stats"].items()
+                    if k in STAGE_NAMES}
+            params = dict(self.state.params)
+            stats = dict(self.state.batch_stats)
+            params["backbone"] = _merge(params["backbone"], bb)
+            stats["backbone"] = _merge(stats["backbone"], bb_s)
+            self.state = self.state.replace(params=params, batch_stats=stats)
+            print(f"backbone warm-started from classifier ckpt {bp}")
         if cfg.get("backbone_pretrained") == "tiny-imagenet":
             # reference loads ckpt/darknet19-tiny-imagenet.ckpt from cwd
             # (models/backbone/darknet.py:138-150); import the torch ckpt
