@@ -107,6 +107,29 @@ def restore_checkpoint(path: str, state: TrainState) -> TrainState:
                          opt_state=restored["opt_state"])
 
 
+def restore_checkpoint_flexible(path: str, state: TrainState) -> TrainState:
+    """Restore a full TrainState, or fall back to params/batch_stats-only
+    checkpoints (e.g. converted reference torch weights, eval-only use)."""
+    try:
+        return restore_checkpoint(path, state)
+    except Exception:
+        tree = restore_params(path)
+        return state.replace(params=tree["params"],
+                             batch_stats=tree["batch_stats"])
+
+
+def save_params(path: str, variables: dict) -> str:
+    """Save a bare {params, batch_stats} tree (no optimizer state)."""
+    path = os.path.abspath(path)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, {"params": variables["params"],
+                      "batch_stats": variables["batch_stats"]})
+    ckptr.wait_until_finished()
+    return path
+
+
 def restore_params(path: str) -> dict:
     """Restore only {params, batch_stats} without needing a TrainState."""
     path = os.path.abspath(path)

@@ -34,7 +34,8 @@ from ..parallel.mesh import (batch_sharding, make_mesh,
                              maybe_init_distributed, replicated_sharding,
                              select_devices)
 from .checkpoint import (CheckpointManager, load_pretrained,
-                         next_version_dir, restore_checkpoint)
+                         next_version_dir, restore_checkpoint,
+                         restore_checkpoint_flexible)
 from .state import create_train_state
 from .steps import make_sbp_steps, make_spm_steps
 
@@ -83,7 +84,7 @@ def load_for_inference(cfg: dict, ckpt: Optional[str], kind: str = "sbp"):
     optimizer, _ = build_optimizer_from_cfg(cfg)
     state = create_train_state(model, optimizer, in_shape)
     if ckpt:
-        state = restore_checkpoint(ckpt, state)
+        state = restore_checkpoint_flexible(ckpt, state)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
     @jax.jit
@@ -356,7 +357,7 @@ class Trainer:
     # ------------------------------------------------------------------
     def validate(self, ckpt: Optional[str] = None, verbose: bool = True):
         if ckpt:
-            self.state = restore_checkpoint(ckpt, self.state)
+            self.state = restore_checkpoint_flexible(ckpt, self.state)
             self.state = jax.device_put(self.state, self.replicated)
         if self.metric is not None:
             self.metric.reset_states()

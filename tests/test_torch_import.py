@@ -109,3 +109,35 @@ def test_import_covers_all_sbp_params():
         sorted(paths(dict(ref["params"])))
     assert sorted(paths(variables["batch_stats"])) == \
         sorted(paths(dict(ref["batch_stats"])))
+
+
+def test_import_cli_roundtrip(tmp_path):
+    """Convert a reference-style torch state_dict to orbax, restore via the
+    flexible path, verify forward parity end-to-end."""
+    import torch as _torch
+
+    from pytorch_pose_estimation_tpu.train.checkpoint import (
+        restore_checkpoint_flexible, save_params)
+    from pytorch_pose_estimation_tpu.optim import get_optimizer
+    from pytorch_pose_estimation_tpu.train import create_train_state
+
+    _torch.manual_seed(1)
+    tm = _ref_style_sbp().eval()
+    variables = import_torch_state_dict(
+        {f"model.{k}": v for k, v in tm.state_dict().items()})
+    out = save_params(str(tmp_path / "imported"), variables)
+
+    model = SBP(num_keypoints=17)
+    state = create_train_state(model, get_optimizer("sgd", lr=1e-3),
+                               (1, 64, 48, 3))
+    state = restore_checkpoint_flexible(out, state)
+
+    x = np.random.RandomState(3).rand(1, 3, 64, 48).astype(np.float32)
+    with _torch.no_grad():
+        want = tm(_torch.from_numpy(x)).numpy()
+    with jax.default_matmul_precision("highest"):
+        got = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            jnp.asarray(np.transpose(x, (0, 2, 3, 1))))
+    np.testing.assert_allclose(np.transpose(np.asarray(got), (0, 3, 1, 2)),
+                               want, rtol=1e-3, atol=2e-4)

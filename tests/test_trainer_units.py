@@ -71,16 +71,17 @@ def test_load_for_inference_matches_eval_normalization(tmp_path):
     from pytorch_pose_estimation_tpu.train.trainer import load_for_inference
     from pytorch_pose_estimation_tpu.train.checkpoint import save_checkpoint
 
+    from pytorch_pose_estimation_tpu.ops.image import normalize_batch
+
     tr = _mk_trainer(tmp_path, devices=1)
     ckpt = str(tmp_path / "ck")
     save_checkpoint(ckpt, tr.state)
     _, fwd = load_for_inference(tr.cfg, ckpt, kind="sbp")
 
     img = np.random.RandomState(0).randint(0, 255, (2, 64, 64, 3), np.uint8)
-    batch = {"image": jnp.asarray(img),
-             "joints": jnp.zeros((2, 17, 2), jnp.float32),
-             "joints_vis": jnp.zeros((2, 17), jnp.float32)}
-    _, logits_eval = tr.eval_step(tr.state, batch)
-    logits_inf = fwd(jnp.asarray(img))
-    np.testing.assert_allclose(np.asarray(logits_inf),
-                               np.asarray(logits_eval), atol=1e-5)
+    # the eval path normalizes uint8 batches with /255 before the model
+    want = tr.model.apply(
+        {"params": tr.state.params, "batch_stats": tr.state.batch_stats},
+        normalize_batch(jnp.asarray(img)), train=False)
+    got = fwd(jnp.asarray(img))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
