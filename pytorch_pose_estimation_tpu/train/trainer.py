@@ -288,6 +288,21 @@ class Trainer:
         patience = int(cfg.get("early_stop_patience", 30))
         max_epochs = int(cfg["epochs"])
 
+        # Lightning-style sanity validation: run N val batches before
+        # training so eval-path breakage surfaces immediately
+        sanity = int(trainer_options.get("num_sanity_val_steps", 0))
+        if sanity > 0 and self.dm.val_db:
+            eval_keys = (("image", "joints", "centers")
+                         if self.kind == "spm"
+                         else ("image", "joints", "joints_vis"))
+            for i, batch in enumerate(self.dm.val_loader()):
+                if i >= sanity:
+                    break
+                padded, n_real = self._pad_to_devices(batch, eval_keys)
+                self.eval_step(self.state,
+                               self._device_batch(padded, eval_keys))
+            print(f"sanity validation: {sanity} batch(es) ok")
+
         train_keys = (("image", "joints", "centers") if self.kind == "spm"
                       else ("image", "joints", "joints_vis"))
         rng = jax.random.PRNGKey(cfg.get("seed", 0))
