@@ -5,6 +5,7 @@ from .mesh import (
     replicated_sharding,
     select_devices,
     shard_host_batch,
+    spatial_sharding,
 )
 
 __all__ = [
@@ -14,4 +15,5 @@ __all__ = [
     "replicated_sharding",
     "select_devices",
     "shard_host_batch",
+    "spatial_sharding",
 ]

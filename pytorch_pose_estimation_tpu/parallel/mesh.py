@@ -72,6 +72,14 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def spatial_sharding(mesh: Mesh, axis: str = DATA_AXIS) -> NamedSharding:
+    """Shard the image HEIGHT dim (NHWC dim 1) across the mesh: GSPMD
+    inserts conv halo exchanges automatically.  The scaling axis for
+    large-input (SPM 512^2+) or batch-1 inference across a slice --
+    exactness vs single-device verified in tests/test_parallel.py."""
+    return NamedSharding(mesh, P(None, axis))
+
+
 def shard_host_batch(batch: Dict[str, np.ndarray], mesh: Mesh,
                      skip: Optional[Sequence[str]] = None):
     """device_put a dict of host numpy arrays with the batch dim sharded.

@@ -83,3 +83,26 @@ def test_sharded_batch_matches_single_device_forward():
     out = jax.jit(lambda v, x: model.apply(v, x))(vs, xs)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_spatial_sharding_conv_forward():
+    """Sharding the HEIGHT dim across the mesh must give identical results:
+    GSPMD inserts the conv halo exchanges. This is the large-input scaling
+    axis for SPM 512^2+ inputs (batch=1 inference can use all chips)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from pytorch_pose_estimation_tpu.models import SBP
+
+    model = SBP(num_keypoints=3)
+    x = np.random.RandomState(0).rand(1, 64, 64, 3).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    ref = model.apply(variables, jnp.asarray(x))
+
+    mesh = make_mesh()
+    xs = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P(None, "data")))
+    vs = jax.device_put(variables, replicated_sharding(mesh))
+    out = jax.jit(lambda v, x: model.apply(v, x))(vs, xs)
+    # height dim of the input is split 8 ways
+    shard_shapes = {s.data.shape for s in xs.addressable_shards}
+    assert shard_shapes == {(1, 8, 64, 3)}
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
