@@ -109,10 +109,20 @@ def make_spm_steps(model, optimizer, input_size: int, output_size: int,
     dataset/spm_coco_dataset.py:228-241).
 
     With ``decode_conf_threshold`` set, eval_step returns
-    (losses, (roots [B,M,3], joints [B,M,K,3])) decoded on device."""
+    (losses, (roots [B,M,3], joints [B,M,K,3])) decoded on device.
+
+    ``augment={'geometric': True}`` enables rotate + random-resized-crop for
+    SPM too (the reference ships these commented out for SPM; off by
+    default for parity).  All persons' joints and root centers ride the
+    same per-sample transform; points leaving the frame become the (0, 0)
+    absent sentinel."""
     ratio = output_size / input_size
     augment = augment or {}
     jitter = tuple(augment.get("color_jitter", (0.5, 0.2, 0.5, 0.1)))
+    geometric = bool(augment.get("geometric", False))
+    rotate_limit = augment.get("rotate_limit", 30.0)
+    scale_range = tuple(augment.get("scale_range", (0.6, 1.0)))
+    ratio_range = tuple(augment.get("ratio_range", (0.75, 1.33)))
 
     def _targets(joints, centers):
         # the reference casts output-res keypoints to int64
@@ -125,11 +135,27 @@ def make_spm_steps(model, optimizer, input_size: int, output_size: int,
         return jnp.transpose(maps, (0, 2, 3, 1))
 
     def train_step(state, batch, rng):
-        images = batch["image"].astype(jnp.float32) / 255.0
-        keys = jax.random.split(rng, images.shape[0])
-        images = jax.vmap(lambda k, im: color_jitter(k, im, *jitter))(
-            keys, images)
-        target = _targets(batch["joints"], batch["centers"])
+        if geometric:
+            b, s = batch["image"].shape[0], batch["image"].shape[1]
+            p, k2 = batch["joints"].shape[1], batch["joints"].shape[2]
+            pts = jnp.concatenate(
+                [batch["joints"].reshape(b, p * k2, 2),
+                 batch["centers"].reshape(b, p, 2)], axis=1)
+            valid = (~((pts[..., 0] <= 0) & (pts[..., 1] <= 0))
+                     ).astype(jnp.float32)
+            images, pts, valid = augment_batch(
+                rng, batch["image"], pts, valid, (s, s), rotate_limit,
+                scale_range, ratio_range, jitter)
+            pts = jnp.where(valid[..., None] >= 1, pts, 0.0)
+            joints = pts[:, :p * k2].reshape(b, p, k2, 2)
+            centers = pts[:, p * k2:].reshape(b, p, 1, 2)
+            target = _targets(joints, centers)
+        else:
+            images = batch["image"].astype(jnp.float32) / 255.0
+            keys = jax.random.split(rng, images.shape[0])
+            images = jax.vmap(lambda k, im: color_jitter(k, im, *jitter))(
+                keys, images)
+            target = _targets(batch["joints"], batch["centers"])
 
         def loss_fn(params):
             logits, mutated = state.apply_fn(

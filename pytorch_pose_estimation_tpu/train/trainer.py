@@ -131,9 +131,13 @@ class Trainer:
 
         if kind == "spm":
             in_shape = (1, cfg["input_size"], cfg["input_size"], 3)
+            spm_augment = dict(augment)
+            if cfg.get("augment_geometric"):
+                spm_augment["geometric"] = True
             self.train_step, self.eval_step = make_spm_steps(
                 self.model, self.optimizer, cfg["input_size"],
                 cfg["output_size"], cfg["num_keypoints"], cfg["sigma"],
+                augment=spm_augment,
                 decode_conf_threshold=cfg["conf_threshold"],
                 max_persons=cfg.get("max_persons", 30))
         else:
