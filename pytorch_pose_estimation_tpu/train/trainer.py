@@ -148,7 +148,9 @@ class Trainer:
                 cfg["sigma"], augment=augment,
                 decode_conf_threshold=cfg["conf_threshold"])
 
-        self.state = create_train_state(self.model, self.optimizer, in_shape)
+        self.state = create_train_state(
+            self.model, self.optimizer, in_shape,
+            rng=jax.random.PRNGKey(cfg.get("seed", 0)))
         self.state = jax.device_put(self.state, self.replicated)
 
         bp = cfg.get("backbone_pretrained")
