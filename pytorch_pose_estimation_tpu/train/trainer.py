@@ -153,54 +153,7 @@ class Trainer:
             rng=jax.random.PRNGKey(cfg.get("seed", 0)))
         self.state = jax.device_put(self.state, self.replicated)
 
-        bp = cfg.get("backbone_pretrained")
-        if bp and bp != "tiny-imagenet" and os.path.isdir(bp):
-            # orbax classifier checkpoint from train_classifier.py:
-            # stage params live at the top level; remap into the backbone
-            import orbax.checkpoint as ocp
-
-            from ..models.darknet import STAGE_NAMES
-            from .checkpoint import _merge
-
-            tree = ocp.PyTreeCheckpointer().restore(os.path.abspath(bp))
-            bb = {k: v for k, v in tree["params"].items()
-                  if k in STAGE_NAMES}
-            bb_s = {k: v for k, v in tree["batch_stats"].items()
-                    if k in STAGE_NAMES}
-            params = dict(self.state.params)
-            stats = dict(self.state.batch_stats)
-            params["backbone"] = _merge(params["backbone"], bb)
-            stats["backbone"] = _merge(stats["backbone"], bb_s)
-            self.state = self.state.replace(params=params, batch_stats=stats)
-            print(f"backbone warm-started from classifier ckpt {bp}")
-        if cfg.get("backbone_pretrained") == "tiny-imagenet":
-            # reference loads ckpt/darknet19-tiny-imagenet.ckpt from cwd
-            # (models/backbone/darknet.py:138-150); import the torch ckpt
-            ckpt_path = os.path.join(os.getcwd(),
-                                     "ckpt/darknet19-tiny-imagenet.ckpt")
-            if os.path.exists(ckpt_path):
-                from ..models.torch_import import import_torch_checkpoint
-                from .checkpoint import _merge
-
-                imported = import_torch_checkpoint(ckpt_path)
-                params = dict(self.state.params)
-                stats = dict(self.state.batch_stats)
-                if "backbone" in imported["params"]:
-                    bb = imported["params"]["backbone"]
-                    bb_s = imported["batch_stats"]["backbone"]
-                else:  # classifier-layout ckpt: stages at the top level
-                    bb = {k: v for k, v in imported["params"].items()
-                          if k != "classifier"}
-                    bb_s = {k: v for k, v in
-                            imported["batch_stats"].items()
-                            if k != "classifier"}
-                params["backbone"] = _merge(params["backbone"], bb)
-                stats["backbone"] = _merge(stats["backbone"], bb_s)
-                self.state = self.state.replace(params=params,
-                                                batch_stats=stats)
-                print(f"backbone warm-started from {ckpt_path}")
-            else:
-                print(f"backbone_pretrained ckpt not found: {ckpt_path}")
+        self._warm_start_backbone(cfg.get("backbone_pretrained"))
 
         if cfg.get("model_pretrained"):
             path = cfg["model_pretrained"]
@@ -236,6 +189,53 @@ class Trainer:
         self._profiling = False
 
     # ------------------------------------------------------------------
+    def _warm_start_backbone(self, bp) -> None:
+        """Overlay backbone params from either layout the framework
+        produces/consumes:
+        * 'tiny-imagenet': the reference's torch classifier checkpoint at
+          ./ckpt/darknet19-tiny-imagenet.ckpt
+          (reference: models/backbone/darknet.py:138-150);
+        * a directory path: an orbax classifier checkpoint from
+          train_classifier.py (stages at the top level)."""
+        if not bp:
+            return
+        if bp == "tiny-imagenet":
+            ckpt_path = os.path.join(os.getcwd(),
+                                     "ckpt/darknet19-tiny-imagenet.ckpt")
+            if not os.path.exists(ckpt_path):
+                print(f"backbone_pretrained ckpt not found: {ckpt_path}")
+                return
+            from ..models.torch_import import import_torch_checkpoint
+
+            tree = import_torch_checkpoint(ckpt_path)
+            src = bp = ckpt_path
+        elif os.path.isdir(bp):
+            import orbax.checkpoint as ocp
+
+            tree = ocp.PyTreeCheckpointer().restore(os.path.abspath(bp))
+            src = bp
+        else:
+            print(f"backbone_pretrained not found, skipping: {bp}")
+            return
+
+        from ..models.darknet import STAGE_NAMES
+        from .checkpoint import _merge
+
+        if "backbone" in tree["params"]:
+            bb = tree["params"]["backbone"]
+            bb_s = tree["batch_stats"]["backbone"]
+        else:  # classifier layout: stages at the top level
+            bb = {k: v for k, v in tree["params"].items()
+                  if k in STAGE_NAMES}
+            bb_s = {k: v for k, v in tree["batch_stats"].items()
+                    if k in STAGE_NAMES}
+        params = dict(self.state.params)
+        stats = dict(self.state.batch_stats)
+        params["backbone"] = _merge(params["backbone"], bb)
+        stats["backbone"] = _merge(stats["backbone"], bb_s)
+        self.state = self.state.replace(params=params, batch_stats=stats)
+        print(f"backbone warm-started from {src}")
+
     def summary(self):
         if self.kind == "spm":
             shape = (1, self.cfg["input_size"], self.cfg["input_size"], 3)
