@@ -128,6 +128,11 @@ class Trainer:
                 hasattr(data_module, "clahe_prob"):
             data_module.clahe_prob = 0.0
         augment = {"clahe_prob": 0.5} if clahe_mode == "device" else {}
+        # user overrides: rotate_limit / scale_range / ratio_range /
+        # color_jitter (defaults reproduce the reference's Albumentations
+        # parameters; e.g. upper-body datasets want milder crops so RRC
+        # doesn't regularly remove every keypoint)
+        augment.update(cfg.get("augment_options") or {})
 
         if kind == "spm":
             in_shape = (1, cfg["input_size"], cfg["input_size"], 3)
