@@ -11,9 +11,15 @@ import os
 
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+# On this 1-core host the shared Eigen intra-op pool has a single worker;
+# a cross-partition all-reduce executed on it blocks the only thread, the
+# other partitions never reach the rendezvous, and XLA hard-aborts after
+# 40 s (observed SIGABRT in rendezvous.cc).  Single-threaded Eigen makes
+# each virtual device run on its own dispatch thread instead.
+if "xla_cpu_multi_thread_eigen" not in _flags:
+    _flags = (_flags + " --xla_cpu_multi_thread_eigen=false").strip()
+os.environ["XLA_FLAGS"] = _flags
 
 import jax  # noqa: E402
 
