@@ -151,6 +151,92 @@ def transform_points(m: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
 
 
 # --------------------------------------------------------------------------
+# matmul-shaped resampling (MXU path)
+#
+# TPU generic gather is the slowest way to move pixels; every resampling
+# stage below is instead expressed as 1-D linear-interpolation weight
+# matrices contracted on the MXU.  Measured at B=256, 256x192: gather
+# bilinear rotation 7.1 ms vs 3-shear einsum rotation 2.0 ms.
+# --------------------------------------------------------------------------
+
+def _interp_weights(src: jnp.ndarray, n_in: int,
+                    dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Linear-interpolation weight rows for sample coords ``src`` ([...])
+    into an axis of length ``n_in``, reflect-101 folded: returns
+    [..., n_in] with (up to) two non-zero taps per row summing to 1."""
+    if n_in > 1:
+        period = 2.0 * (n_in - 1)
+        c = jnp.mod(src, period)
+        src = jnp.where(c > (n_in - 1), period - c, c)
+    grid = jnp.arange(n_in, dtype=jnp.float32)
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(src[..., None] - grid))
+    w = w / jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-8)
+    return w.astype(dtype)
+
+
+def _shear_x(img: jnp.ndarray, alpha, cy: float) -> jnp.ndarray:
+    """Horizontal shear about row ``cy``: out[y, x] = in[y, x - a*(y-cy)].
+    img: [B, H, W, C]; the per-row 1-D interpolation is one einsum."""
+    h, w = img.shape[-3], img.shape[-2]
+    ys = jnp.arange(h, dtype=jnp.float32)
+    xs = jnp.arange(w, dtype=jnp.float32)
+    src = xs[None, :] - alpha * (ys[:, None] - cy)        # [H, W_out]
+    wt = _interp_weights(src, w)                          # [H, W_out, W_in]
+    return jnp.einsum("bhwc,hvw->bhvc", img.astype(jnp.bfloat16), wt,
+                      preferred_element_type=jnp.float32)
+
+
+def _shear_y(img: jnp.ndarray, beta, cx: float) -> jnp.ndarray:
+    """Vertical shear about column ``cx``."""
+    h, w = img.shape[-3], img.shape[-2]
+    ys = jnp.arange(h, dtype=jnp.float32)
+    xs = jnp.arange(w, dtype=jnp.float32)
+    src = ys[:, None] - beta * (xs[None, :] - cx)         # [H_out, W]
+    wt = _interp_weights(src, h)                          # [H_out, W, H_in]
+    return jnp.einsum("bhwc,vwh->bvwc", img.astype(jnp.bfloat16), wt,
+                      preferred_element_type=jnp.float32)
+
+
+def rotate_shear3(img: jnp.ndarray, angle, cy: float,
+                  cx: float) -> jnp.ndarray:
+    """Rotate [B, H, W, C] by ``angle`` radians about (cx, cy) via the
+    Paeth three-shear decomposition
+    R = ShearX(-tan(a/2)) . ShearY(sin a) . ShearX(-tan(a/2)).
+
+    The coordinate map composes to EXACTLY the rotation matrix (keypoints
+    transformed with `_rotation_about` stay consistent); pixel values go
+    through three 1-D linear interpolations instead of one bilinear gather
+    (interior max deviation ~0.007 on [0,1] images -- irrelevant for a
+    random augmentation, 3.5x faster on TPU)."""
+    alpha = -jnp.tan(angle / 2.0)
+    beta = jnp.sin(angle)
+    img = _shear_x(img, alpha, cy)
+    img = _shear_y(img, beta, cx)
+    return _shear_x(img, alpha, cy)
+
+
+def crop_resize_mxu(img: jnp.ndarray, x0, y0, cw, ch) -> jnp.ndarray:
+    """Per-example crop box -> full-size resize as two weight-matrix
+    contractions (img: [B, H, W, C]; x0/y0/cw/ch: [B] crop boxes in input
+    px).  Linear taps are exact here because RRC always magnifies
+    (crop <= image, output = input size).  Half-pixel-center convention
+    matches jax.image.scale_and_translate; the keypoint map stays
+    new = (pt - origin) * out/crop as in the reference."""
+    h, w = img.shape[-3], img.shape[-2]
+    ys = jnp.arange(h, dtype=jnp.float32)
+    xs = jnp.arange(w, dtype=jnp.float32)
+    # output px u samples input at origin + (u + .5)/scale - .5
+    src_y = y0[:, None] + (ys[None, :] + 0.5) * (ch[:, None] / h) - 0.5
+    src_x = x0[:, None] + (xs[None, :] + 0.5) * (cw[:, None] / w) - 0.5
+    wy = _interp_weights(src_y, h)                        # [B, H_out, H_in]
+    wx = _interp_weights(src_x, w)                        # [B, W_out, W_in]
+    out = jnp.einsum("bhwc,bvh->bvwc", img.astype(jnp.bfloat16), wy,
+                     preferred_element_type=jnp.float32)
+    return jnp.einsum("bvwc,buw->bvuc", out.astype(jnp.bfloat16), wx,
+                      preferred_element_type=jnp.float32)
+
+
+# --------------------------------------------------------------------------
 # photometric
 # --------------------------------------------------------------------------
 
@@ -225,6 +311,57 @@ def color_jitter(key, img: jnp.ndarray, brightness: float = 0.5,
                                         op_saturation, op_hue], x)
 
     return jax.lax.fori_loop(0, 4, body, img)
+
+
+def color_jitter_batch(key, imgs: jnp.ndarray, brightness: float = 0.5,
+                       contrast: float = 0.2, saturation: float = 0.5,
+                       hue: float = 0.1) -> jnp.ndarray:
+    """ColorJitter over a batch [B, H, W, 3]: per-EXAMPLE factors, one
+    BATCH-shared op order.
+
+    Under vmap the per-example `color_jitter`'s lax.switch lowers to a
+    select over ALL four branches -- 16 full-image passes per step, with
+    the HSV round-trip always paid.  Sharing the op order (like the
+    rotation angle: unchanged distribution across steps, only intra-batch
+    diversity reduced) runs each op exactly once, vectorized over the
+    batch."""
+    b = imgs.shape[0]
+    k_b, k_c, k_s, k_h, k_perm = jax.random.split(key, 5)
+    shape = (b, 1, 1, 1)
+    fb = jax.random.uniform(k_b, shape, minval=1 - brightness,
+                            maxval=1 + brightness)
+    fc = jax.random.uniform(k_c, shape, minval=1 - contrast,
+                            maxval=1 + contrast)
+    fs = jax.random.uniform(k_s, shape, minval=1 - saturation,
+                            maxval=1 + saturation)
+    fh = jax.random.uniform(k_h, (b, 1, 1), minval=-hue, maxval=hue)
+
+    def gray(x):
+        return (0.299 * x[..., 0] + 0.587 * x[..., 1]
+                + 0.114 * x[..., 2])[..., None]
+
+    def op_brightness(x):
+        return jnp.clip(x * fb, 0.0, 1.0)
+
+    def op_contrast(x):
+        mean = jnp.mean(gray(x), axis=(1, 2, 3), keepdims=True)
+        return jnp.clip((x - mean) * fc + mean, 0.0, 1.0)
+
+    def op_saturation(x):
+        g = gray(x)
+        return jnp.clip((x - g) * fs + g, 0.0, 1.0)
+
+    def op_hue(x):
+        h, s, v = _rgb_to_hsv(x)
+        return jnp.clip(_hsv_to_rgb((h + fh) % 1.0, s, v), 0.0, 1.0)
+
+    perm = jax.random.permutation(k_perm, 4)
+
+    def body(i, x):
+        return jax.lax.switch(perm[i], [op_brightness, op_contrast,
+                                        op_saturation, op_hue], x)
+
+    return jax.lax.fori_loop(0, 4, body, imgs)
 
 
 # --------------------------------------------------------------------------
@@ -314,39 +451,6 @@ def _sample_crop(key, h: int, w: int, scale_range, ratio_range):
     return x0, y0, cw, ch
 
 
-def _augment_one(key, img, joints, vis, out_hw, scale_range, ratio_range,
-                 jitter_params, clahe_prob=0.0):
-    """Per-example stage: (optional CLAHE) + RRC + color jitter.
-
-    The RRC runs through jax.image.scale_and_translate -- separable
-    interpolation lowered to batched matmuls, which the MXU eats; a
-    per-example gather-based warp is ~50x slower on TPU.
-    """
-    h, w = out_hw
-    k_crop, k_col, k_cl, k_clip = jax.random.split(key, 4)
-    if clahe_prob > 0:
-        clip = jax.random.uniform(k_clip, (), minval=1.0, maxval=4.0)
-        do = jax.random.uniform(k_cl, ()) < clahe_prob
-        img = jax.lax.cond(do, lambda im: clahe_luma(im, clip),
-                           lambda im: im, img)
-
-    x0, y0, cw, ch = _sample_crop(k_crop, h, w, scale_range, ratio_range)
-    sx = w / cw
-    sy = h / ch
-    img = jax.image.scale_and_translate(
-        img, (h, w, 3), (0, 1),
-        jnp.stack([sy, sx]), jnp.stack([-y0 * sy, -x0 * sx]),
-        method="linear")
-    img = color_jitter(k_col, img, *jitter_params)
-
-    new_pts = jnp.stack([(joints[:, 0] - x0) * sx,
-                         (joints[:, 1] - y0) * sy], axis=1)
-    inside = (new_pts[:, 0] >= 0) & (new_pts[:, 0] < w) & \
-             (new_pts[:, 1] >= 0) & (new_pts[:, 1] < h)
-    new_vis = vis * inside.astype(vis.dtype)
-    return img, new_pts, new_vis
-
-
 @functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9))
 def augment_batch(key, images_u8, joints, vis, out_hw: Tuple[int, int],
                   rotate_limit: float = 40.0,
@@ -361,34 +465,61 @@ def augment_batch(key, images_u8, joints, vis, out_hw: Tuple[int, int],
     images_u8: [B, H, W, 3] uint8; joints: [B, K, 2] in input px;
     vis: [B, K].  Returns (images fp32 [0,1], joints, vis).
 
-    TPU note: the rotation angle is sampled once per BATCH, not per
-    example.  With a shared warp matrix the bilinear gather vectorizes
-    across the batch (~13 ms at B=256); per-example matrices force a
-    generic dynamic gather that measures ~56x slower on v5e.  Crop/scale/
-    aspect and photometrics remain fully per-example, so only the
-    intra-batch rotation diversity is reduced -- across steps the rotation
-    distribution is unchanged.
+    TPU notes -- every pixel-moving stage is matmul-shaped (MXU), never a
+    gather, and batch-wide scalars are shared where the per-step
+    distribution is unchanged by it:
+    * rotation: angle sampled once per BATCH (a per-example warp matrix
+      forces a generic dynamic gather measured ~56x slower on v5e), pixels
+      moved by the Paeth 3-shear einsum path (`rotate_shear3`, 2.0 ms at
+      B=256 vs 7.1 ms for the shared-matrix bilinear gather);
+    * random-resized-crop: fully per-example, two interpolation-matrix
+      contractions (`crop_resize_mxu`);
+    * color jitter: per-example factors, batch-shared op ORDER
+      (`color_jitter_batch` -- a vmapped lax.switch would run all four
+      ops' branches per slot, 16 full-image passes instead of 4).
+    Crop/scale/aspect and all photometric factors remain per-example.
     """
     b = images_u8.shape[0]
     h, w = out_hw
-    k_rot, k_rest = jax.random.split(key)
+    k_rot, k_crop, k_col, k_cl = jax.random.split(key, 4)
     imgs = images_u8.astype(jnp.float32) / 255.0
 
-    # batch-shared rotation
+    # batch-shared rotation, exact joint map, 3-shear pixel map
     angle = jax.random.uniform(k_rot, (), minval=-rotate_limit,
                                maxval=rotate_limit) * jnp.pi / 180.0
     rot = _rotation_about(w / 2.0, h / 2.0, angle)
-    inv = _invert(rot)
-    imgs = jax.vmap(lambda im: affine_warp(im, inv, out_hw))(imgs)
+    imgs = rotate_shear3(imgs, angle, h / 2.0, w / 2.0)
     joints = jax.vmap(lambda p: transform_points(rot, p))(joints)
 
-    # per-example crop + jitter
-    keys = jax.random.split(k_rest, b)
-    fn = functools.partial(_augment_one, out_hw=out_hw,
-                           scale_range=scale_range, ratio_range=ratio_range,
-                           jitter_params=jitter_params,
-                           clahe_prob=clahe_prob)
-    return jax.vmap(fn)(keys, imgs, joints, vis)
+    # optional device CLAHE (per-example, opt-in)
+    if clahe_prob > 0:
+        keys_cl = jax.random.split(k_cl, b)
+
+        def _clahe_one(kk, im):
+            k_do, k_clip = jax.random.split(kk)
+            clip = jax.random.uniform(k_clip, (), minval=1.0, maxval=4.0)
+            do = jax.random.uniform(k_do, ()) < clahe_prob
+            return jax.lax.cond(do, lambda x: clahe_luma(x, clip),
+                                lambda x: x, im)
+
+        imgs = jax.vmap(_clahe_one)(keys_cl, imgs)
+
+    # per-example random-resized-crop via weight-matrix contractions
+    keys_crop = jax.random.split(k_crop, b)
+    x0, y0, cw, ch = jax.vmap(
+        lambda kk: _sample_crop(kk, h, w, scale_range, ratio_range)
+    )(keys_crop)
+    imgs = crop_resize_mxu(imgs, x0, y0, cw, ch)
+    sx = (w / cw)[:, None]
+    sy = (h / ch)[:, None]
+    new_pts = jnp.stack([(joints[..., 0] - x0[:, None]) * sx,
+                         (joints[..., 1] - y0[:, None]) * sy], axis=-1)
+    inside = (new_pts[..., 0] >= 0) & (new_pts[..., 0] < w) & \
+             (new_pts[..., 1] >= 0) & (new_pts[..., 1] < h)
+    new_vis = vis * inside.astype(vis.dtype)
+
+    imgs = color_jitter_batch(k_col, imgs, *jitter_params)
+    return imgs, new_pts, new_vis
 
 
 @jax.jit

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from ..losses import (sbp_loss, sbp_loss_per_sample, spm_loss,
                       spm_loss_per_sample)
-from ..ops.image import augment_batch, color_jitter, normalize_batch
+from ..ops.image import augment_batch, color_jitter_batch, normalize_batch
 from ..ops.targets import sbp_heatmaps_batch, spm_target
 
 
@@ -152,9 +152,7 @@ def make_spm_steps(model, optimizer, input_size: int, output_size: int,
             target = _targets(joints, centers)
         else:
             images = batch["image"].astype(jnp.float32) / 255.0
-            keys = jax.random.split(rng, images.shape[0])
-            images = jax.vmap(lambda k, im: color_jitter(k, im, *jitter))(
-                keys, images)
+            images = color_jitter_batch(rng, images, *jitter)
             target = _targets(batch["joints"], batch["centers"])
 
         def loss_fn(params):

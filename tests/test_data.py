@@ -206,3 +206,71 @@ def test_augment_batch_with_device_clahe():
         (0.0, 0.0, 0.0, 0.0), 1.0)
     assert np.asarray(out).shape == (2, 64, 64, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+# -------------------------------------------------------------------------
+# MXU (matmul-shaped) resampling path
+# -------------------------------------------------------------------------
+
+def test_rotate_shear3_matches_gather_warp():
+    """The 3-shear einsum rotation must agree with the reference
+    gather-bilinear warp away from borders (different resampling schemes,
+    same geometry)."""
+    from pytorch_pose_estimation_tpu.ops.image import rotate_shear3
+
+    h, w = 64, 48
+    xs = np.linspace(0, 1, w)
+    ys = np.linspace(0, 1, h)
+    smooth = (np.sin(ys[:, None] * 7)[:, :, None]
+              * np.cos(xs[None, :, None] * 5) * 0.5 + 0.5).astype(np.float32)
+    img = np.broadcast_to(smooth, (1, h, w, 3))
+    angle = 0.3
+    rot = _rotation_about(w / 2.0, h / 2.0, jnp.float32(angle))
+    ref = jax.vmap(lambda im: affine_warp(im, _invert(rot), (h, w)))(
+        jnp.asarray(img))
+    got = rotate_shear3(jnp.asarray(img), jnp.float32(angle),
+                        h / 2.0, w / 2.0)
+    m = 12
+    diff = np.abs(np.asarray(ref) - np.asarray(got))[:, m:-m, m:-m]
+    assert diff.max() < 0.02, diff.max()
+
+
+def test_crop_resize_mxu_matches_scale_and_translate():
+    from pytorch_pose_estimation_tpu.ops.image import crop_resize_mxu
+
+    h, w = 32, 24
+    rng = np.random.RandomState(0)
+    img = rng.rand(2, h, w, 3).astype(np.float32)
+    x0 = np.asarray([2.0, 0.0], np.float32)
+    y0 = np.asarray([3.0, 1.5], np.float32)
+    cw = np.asarray([15.0, 20.0], np.float32)
+    ch = np.asarray([20.0, 28.0], np.float32)
+    got = np.asarray(crop_resize_mxu(jnp.asarray(img), jnp.asarray(x0),
+                                     jnp.asarray(y0), jnp.asarray(cw),
+                                     jnp.asarray(ch)))
+    for b in range(2):
+        sx, sy = w / cw[b], h / ch[b]
+        ref = jax.image.scale_and_translate(
+            jnp.asarray(img[b]), (h, w, 3), (0, 1),
+            jnp.asarray([sy, sx]), jnp.asarray([-y0[b] * sy, -x0[b] * sx]),
+            method="linear")
+        # interior: identical up to bf16 rounding; border rows differ by
+        # design (scale_and_translate zero-pads, ours renormalizes)
+        diff = np.abs(np.asarray(ref) - got[b])[1:-1, 1:-1]
+        assert diff.max() < 0.02, diff.max()
+
+
+def test_color_jitter_batch_determinism_and_range():
+    from pytorch_pose_estimation_tpu.ops.image import color_jitter_batch
+
+    imgs = jnp.asarray(np.random.RandomState(1).rand(3, 8, 8, 3)
+                       .astype(np.float32))
+    a = color_jitter_batch(jax.random.PRNGKey(3), imgs)
+    b = color_jitter_batch(jax.random.PRNGKey(3), imgs)
+    c = color_jitter_batch(jax.random.PRNGKey(4), imgs)
+    assert float(jnp.min(a)) >= 0.0 and float(jnp.max(a)) <= 1.0
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    assert not np.allclose(np.asarray(a), np.asarray(c))
+    # per-example factors: different examples get different jitter
+    ratios = np.asarray(a) / np.maximum(np.asarray(imgs), 1e-6)
+    assert not np.allclose(ratios[0].mean(), ratios[1].mean(), atol=1e-3)
