@@ -324,7 +324,15 @@ def color_jitter_batch(key, imgs: jnp.ndarray, brightness: float = 0.5,
     the HSV round-trip always paid.  Sharing the op order (like the
     rotation angle: unchanged distribution across steps, only intra-batch
     diversity reduced) runs each op exactly once, vectorized over the
-    batch."""
+    batch.
+
+    The order is dispatched as ONE 24-way lax.switch over the full
+    permutations rather than a fori_loop of 4-way switches: a switch
+    inside a loop compiles to a while+conditional that XLA cannot fuse
+    across (measured 10.5 ms/step at B=256); a top-level switch executes
+    exactly one fully-fused 4-op chain (~1 ms)."""
+    import itertools
+
     b = imgs.shape[0]
     k_b, k_c, k_s, k_h, k_perm = jax.random.split(key, 5)
     shape = (b, 1, 1, 1)
@@ -335,6 +343,9 @@ def color_jitter_batch(key, imgs: jnp.ndarray, brightness: float = 0.5,
     fs = jax.random.uniform(k_s, shape, minval=1 - saturation,
                             maxval=1 + saturation)
     fh = jax.random.uniform(k_h, (b, 1, 1), minval=-hue, maxval=hue)
+    # keep the image dtype (bf16 path): an fp32 factor would promote the
+    # whole chain back to fp32 and double the HBM traffic
+    fb, fc, fs, fh = (f.astype(imgs.dtype) for f in (fb, fc, fs, fh))
 
     def gray(x):
         return (0.299 * x[..., 0] + 0.587 * x[..., 1]
@@ -344,7 +355,8 @@ def color_jitter_batch(key, imgs: jnp.ndarray, brightness: float = 0.5,
         return jnp.clip(x * fb, 0.0, 1.0)
 
     def op_contrast(x):
-        mean = jnp.mean(gray(x), axis=(1, 2, 3), keepdims=True)
+        mean = jnp.mean(gray(x), axis=(1, 2, 3), keepdims=True,
+                        dtype=jnp.float32).astype(x.dtype)
         return jnp.clip((x - mean) * fc + mean, 0.0, 1.0)
 
     def op_saturation(x):
@@ -355,13 +367,18 @@ def color_jitter_batch(key, imgs: jnp.ndarray, brightness: float = 0.5,
         h, s, v = _rgb_to_hsv(x)
         return jnp.clip(_hsv_to_rgb((h + fh) % 1.0, s, v), 0.0, 1.0)
 
-    perm = jax.random.permutation(k_perm, 4)
+    ops = [op_brightness, op_contrast, op_saturation, op_hue]
 
-    def body(i, x):
-        return jax.lax.switch(perm[i], [op_brightness, op_contrast,
-                                        op_saturation, op_hue], x)
+    def chain(order):
+        def apply(x):
+            for i in order:
+                x = ops[i](x)
+            return x
+        return apply
 
-    return jax.lax.fori_loop(0, 4, body, imgs)
+    branches = [chain(o) for o in itertools.permutations(range(4))]
+    idx = jax.random.randint(k_perm, (), 0, len(branches))
+    return jax.lax.switch(idx, branches, imgs)
 
 
 # --------------------------------------------------------------------------
@@ -451,19 +468,23 @@ def _sample_crop(key, h: int, w: int, scale_range, ratio_range):
     return x0, y0, cw, ch
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9))
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10))
 def augment_batch(key, images_u8, joints, vis, out_hw: Tuple[int, int],
                   rotate_limit: float = 40.0,
                   scale_range: Tuple[float, float] = (0.4, 1.0),
                   ratio_range: Tuple[float, float] = (0.4, 1.6),
                   jitter_params: Tuple[float, float, float, float] =
                   (0.5, 0.2, 0.5, 0.1),
-                  clahe_prob: float = 0.0):
+                  clahe_prob: float = 0.0,
+                  out_dtype=jnp.float32):
     """Train-time batch augmentation: random rotate + random-resized-crop +
     color jitter (+ optional device CLAHE).
 
     images_u8: [B, H, W, 3] uint8; joints: [B, K, 2] in input px;
-    vis: [B, K].  Returns (images fp32 [0,1], joints, vis).
+    vis: [B, K].  Returns (images [0,1] in ``out_dtype``, joints, vis).
+    Pass the model's compute dtype (bf16) as ``out_dtype``: the color
+    jitter then runs at half the HBM traffic and the image never takes an
+    fp32->bf16 conversion pass in front of the first conv.
 
     TPU notes -- every pixel-moving stage is matmul-shaped (MXU), never a
     gather, and batch-wide scalars are shared where the per-step
@@ -509,7 +530,7 @@ def augment_batch(key, images_u8, joints, vis, out_hw: Tuple[int, int],
     x0, y0, cw, ch = jax.vmap(
         lambda kk: _sample_crop(kk, h, w, scale_range, ratio_range)
     )(keys_crop)
-    imgs = crop_resize_mxu(imgs, x0, y0, cw, ch)
+    imgs = crop_resize_mxu(imgs, x0, y0, cw, ch).astype(out_dtype)
     sx = (w / cw)[:, None]
     sy = (h / ch)[:, None]
     new_pts = jnp.stack([(joints[..., 0] - x0[:, None]) * sx,

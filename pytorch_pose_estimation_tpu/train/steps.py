@@ -59,11 +59,13 @@ def make_sbp_steps(model, optimizer, input_size, output_size: Tuple[int, int],
     clahe_prob = float(augment.get("clahe_prob", 0.0))  # device CLAHE
     out_hw = (int(input_size[0]), int(input_size[1]))
 
+    model_dtype = getattr(model, "dtype", jnp.float32) or jnp.float32
+
     def train_step(state, batch, rng):
         images, joints, vis = augment_batch(
             rng, batch["image"], batch["joints"], batch["joints_vis"],
             out_hw, rotate_limit, scale_range, ratio_range, jitter,
-            clahe_prob)
+            clahe_prob, model_dtype)
         target = _sbp_targets(joints, vis, ratio, output_size,
                               num_keypoints, sigma)
 
@@ -151,7 +153,8 @@ def make_spm_steps(model, optimizer, input_size: int, output_size: int,
             centers = pts[:, p * k2:].reshape(b, p, 1, 2)
             target = _targets(joints, centers)
         else:
-            images = batch["image"].astype(jnp.float32) / 255.0
+            dt = getattr(model, "dtype", jnp.float32) or jnp.float32
+            images = batch["image"].astype(dt) / jnp.asarray(255.0, dt)
             images = color_jitter_batch(rng, images, *jitter)
             target = _targets(batch["joints"], batch["centers"])
 
