@@ -9,12 +9,14 @@ TPU-native split:
 * Host does only decode + bbox crop + fixed-size resize (+ optional cv2
   CLAHE, the one histogram op that is cheaper on host), emitting static
   shapes.
-* Everything else runs here as one jitted, vmapped stage: rotation and
-  random-resized-crop composed into a single inverse affine map applied by
-  bilinear warp (reflect-101 borders, cv2's default), photometric jitter in
-  randomized op order, and /255 normalization.  Keypoints ride the same
-  affine; out-of-frame keypoints are marked invisible, reproducing
-  Albumentations' drop + ``_fix_joints`` bookkeeping
+* Everything else runs here as one jitted stage in which every
+  pixel-moving op is matmul-shaped (MXU), never a gather: rotation as
+  Paeth 3-shear interpolation-matrix einsums (reflect-101 borders, cv2's
+  default), per-example random-resized-crop as two weight-matrix
+  contractions, photometric jitter in randomized op order (one fused
+  chain via a 24-way switch), and /255 normalization.  Keypoints ride the
+  exact composed affine; out-of-frame keypoints are marked invisible,
+  reproducing Albumentations' drop + ``_fix_joints`` bookkeeping
   (reference: dataset/sbp_coco_dataset.py:171-187).
 
 Everything is a pure function of a PRNG key -> fuses with the train step
