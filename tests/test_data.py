@@ -274,3 +274,37 @@ def test_color_jitter_batch_determinism_and_range():
     # per-example factors: different examples get different jitter
     ratios = np.asarray(a) / np.maximum(np.asarray(imgs), 1e-6)
     assert not np.allclose(ratios[0].mean(), ratios[1].mean(), atol=1e-3)
+
+
+def test_augment_batch_geometry_property_many_keys():
+    """Over many PRNG keys: visible joints stay inside the frame, images
+    stay finite and in [0, 1], and the bright dot stamped at each joint is
+    found near the transformed joint (image and keypoints ride the same
+    composed affine)."""
+    h, w = 48, 32
+    imgs = np.zeros((2, h, w, 3), np.uint8)
+    joints = np.zeros((2, 1, 2), np.float32)
+    for b, (x, y) in enumerate([(12, 20), (20, 30)]):
+        imgs[b, y - 1:y + 2, x - 1:x + 2] = 255
+        joints[b, 0] = (x, y)
+    vis = np.ones((2, 1), np.float32)
+
+    found = 0
+    for seed in range(16):
+        out, nj, nv = augment_batch(
+            jax.random.PRNGKey(seed), jnp.asarray(imgs),
+            jnp.asarray(joints), jnp.asarray(vis), (h, w),
+            35.0, (0.5, 1.0), (0.7, 1.4), (0.0, 0.0, 0.0, 0.0))
+        out, nj, nv = map(np.asarray, (out, nj, nv))
+        assert np.isfinite(out).all()
+        assert out.min() >= -1e-3 and out.max() <= 1.0 + 1e-3
+        for b in range(2):
+            if nv[b, 0] < 1:
+                continue
+            x, y = nj[b, 0]
+            assert 0 <= x < w and 0 <= y < h, (seed, b, x, y)
+            yy, xx = np.unravel_index(np.argmax(out[b].sum(-1)), (h, w))
+            if np.hypot(xx - x, yy - y) < 5.0:
+                found += 1
+    # most visible dots must be recovered at the transformed location
+    assert found >= 12, found
