@@ -173,10 +173,183 @@ def bench_tpu_train(batch: int = 256, iters: int = 10):
     return ips
 
 
+def _ensure_synth_corpus(root="./data/bench_synth", n_train=160):
+    """Synthetic JPEG corpus on disk for the measured end-to-end numbers
+    (no real COCO in this environment)."""
+    import os
+
+    ann = os.path.join(root, "annotations",
+                       "person_keypoints_train2017.json")
+    if not os.path.exists(ann):
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "tests"))
+        from synth_fixture import make_dataset
+        log(f"generating {n_train}-image synthetic corpus at {root}")
+        make_dataset(root, "train2017", n_train, seed=0)
+    return root, ann
+
+
+def bench_e2e_train(batch: int = 64, steps: int = 4):
+    """MEASURED end-to-end training throughput: native C++ JPEG loader ->
+    host->device transfer -> fused train step, on real files.  This is the
+    number the chip-capability figure from bench_tpu_train cannot give
+    (the H2D path on this tunnel backend runs at ~20 MB/s, so this is
+    transfer-bound here; on a co-located host it is loader-bound)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pytorch_pose_estimation_tpu.data import SBPCOCODataModule
+    from pytorch_pose_estimation_tpu.models import SBP
+    from pytorch_pose_estimation_tpu.optim import get_optimizer, yolo_lr
+    from pytorch_pose_estimation_tpu.train import create_train_state
+    from pytorch_pose_estimation_tpu.train.steps import make_sbp_steps
+
+    root, ann = _ensure_synth_corpus()
+    dm = SBPCOCODataModule(
+        train_path=ann, val_path=None, input_size=(256, 192),
+        output_size=(64, 48), num_keypoints=17, sigma=2.0, workers=8,
+        batch_size=batch, class_labels=[], img_dir=root)
+    dm.setup()
+
+    model = SBP(num_keypoints=17, dtype=jnp.bfloat16)
+    opt = get_optimizer("sgd", momentum=0.9, weight_decay=5e-3,
+                        nesterov=True,
+                        schedule=yolo_lr(1e-3, 100, [10 ** 6], [0.1]))
+    train_step, _ = make_sbp_steps(model, opt, (256, 192), (64, 48), 17,
+                                   2.0)
+    state = create_train_state(model, opt, (1, 256, 192, 3))
+    key = jax.random.PRNGKey(0)
+
+    def put(batch_np):
+        return {
+            "image": jax.device_put(jnp.asarray(batch_np["image"])),
+            "joints": jax.device_put(
+                jnp.asarray(batch_np["joints"], jnp.float32)),
+            "joints_vis": jax.device_put(
+                jnp.asarray(batch_np["joints_vis"], jnp.float32)),
+        }
+
+    loader = dm.train_loader()
+    it = iter(loader)
+    # warm-up batch: compile + first transfer
+    state, loss = train_step(state, put(next(it)), key)
+    float(loss)
+    n_img, done = 0, 0
+    t0 = time.perf_counter()
+    for batch_np in it:
+        state, loss = train_step(state, put(batch_np),
+                                 jax.random.fold_in(key, done))
+        n_img += len(batch_np["image"])
+        done += 1
+        if done >= steps:
+            break
+    float(loss)  # sync
+    dt = time.perf_counter() - t0
+    ips = n_img / dt
+    log(f"E2E train (loader->H2D->step) batch={batch}: {ips:.1f} img/s "
+        f"measured over {done} steps")
+    return ips
+
+
+def bench_cli_latency(n: int = 16):
+    """Per-image CLI inference latency INCLUDING the host->device transfer
+    (the reference's probe times the loop body with H2D,
+    inference_sbp.py:70-74).  Each image is synced with a scalar readback
+    before the next starts."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from pytorch_pose_estimation_tpu.models import SBP
+    from pytorch_pose_estimation_tpu.ops.decode import decode_sbp_fast
+
+    model = SBP(num_keypoints=17, dtype=jnp.bfloat16)
+    variables = model.init(jax.random.PRNGKey(1),
+                           jnp.zeros((1, 256, 192, 3)))
+
+    @jax.jit
+    def fwd_decode(variables, img_u8):
+        images = img_u8.astype(jnp.float32) / 255.0
+        out = model.apply(variables, images, train=False)
+        return decode_sbp_fast(out, 192, 0.25, True)
+
+    rng = np.random.RandomState(0)
+    imgs = rng.randint(0, 255, (n, 1, 256, 192, 3), np.uint8)
+    float(fwd_decode(variables, jnp.asarray(imgs[0]))[0, 0, 2])  # compile
+    t0 = time.perf_counter()
+    for i in range(n):
+        joints = fwd_decode(variables, jnp.asarray(imgs[i]))
+        float(joints[0, 0, 2])  # readback = sync
+    ms = (time.perf_counter() - t0) / n * 1000
+    log(f"CLI-path SBP batch=1 latency incl. H2D: {ms:.2f} ms/image")
+    return ms
+
+
+def bench_tpu_spm(batch: int = 32, iters: int = 10, max_persons: int = 30):
+    """SPM 512->128 inference throughput + fused decode cost (the model
+    family the reference never finished; no reference number exists)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from pytorch_pose_estimation_tpu.models import SPM
+    from pytorch_pose_estimation_tpu.ops.decode import decode_spm_batch
+
+    model = SPM(num_keypoints=17, dtype=jnp.bfloat16)
+    images = jax.random.uniform(jax.random.PRNGKey(0),
+                                (batch, 512, 512, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(1), images)
+    float(jnp.sum(images))
+
+    @functools.partial(jax.jit, static_argnums=(2, 3))
+    def forward_n(variables, images, n, decode):
+        def body(_, carry):
+            im, acc = carry
+            out = model.apply(variables, im, train=False)
+            if decode:
+                roots, joints = decode_spm_batch(out, 512, 2.0, 0.25,
+                                                 True, max_persons)
+                acc = acc + roots[0, 0, 2]
+            else:
+                acc = acc + out[0, 0, 0, 0]
+            delta = jnp.pad(out[:, :, :, :3] * 1e-6,
+                            ((0, 0), (0, 384), (0, 384), (0, 0)))
+            return im + delta, acc
+        _, acc = jax.lax.fori_loop(0, n, body, (images, jnp.float32(0)))
+        return acc
+
+    float(forward_n(variables, images, iters, False))  # compile
+    t0 = time.perf_counter()
+    float(forward_n(variables, images, iters, False))
+    dt = time.perf_counter() - t0
+    ips = batch * iters / dt
+    log(f"TPU SPM 512 batch={batch} forward: {ips:.1f} img/s "
+        f"({dt / iters * 1000:.2f} ms/batch)")
+
+    # decode separately at a smaller batch: the 30-round bounded-iteration
+    # NMS graph is big, and per-image decode cost is what matters
+    db, di = 8, 5
+    small = images[:db]
+    float(forward_n(variables, small, di, True))  # compile
+    t0 = time.perf_counter()
+    float(forward_n(variables, small, di, True))
+    dt_dec = time.perf_counter() - t0
+    ips_dec = db * di / dt_dec
+    log(f"TPU SPM 512 batch={db} forward+decode (max_persons="
+        f"{max_persons}): {ips_dec:.1f} img/s "
+        f"({dt_dec / di * 1000:.2f} ms/batch)")
+    return ips
+
+
 def main():
     tpu_ips = bench_tpu_sbp()
     bench_tpu_latency()
     bench_tpu_train()
+    bench_e2e_train()
+    bench_cli_latency()
+    bench_tpu_spm()
     cpu_ips = bench_torch_cpu_sbp()
     print(json.dumps({
         "metric": "sbp_256x192_inference_throughput",

@@ -24,6 +24,10 @@ def _scan(root: str, classes: List[str]) -> List[dict]:
     db = []
     for label, name in enumerate(classes):
         d = os.path.join(root, name)
+        if not os.path.isdir(d):
+            # classes come from train_dir; a val_dir is allowed to lack
+            # some of them (it simply contributes no samples there)
+            continue
         for fname in sorted(os.listdir(d)):
             if os.path.splitext(fname)[1].lower() in _EXTS:
                 db.append({"path": os.path.join(d, fname), "label": label})
@@ -63,7 +67,12 @@ class ImageFolderDataModule:
         s = self.input_size
 
         def fn(rec, index, epoch):
-            img = cv2.cvtColor(cv2.imread(rec["path"]), cv2.COLOR_BGR2RGB)
+            raw = cv2.imread(rec["path"])
+            if raw is None:
+                raise IOError(
+                    f"cv2.imread failed (corrupt/unreadable image): "
+                    f"{rec['path']}")
+            img = cv2.cvtColor(raw, cv2.COLOR_BGR2RGB)
             img = cv2.resize(img, (s, s), interpolation=cv2.INTER_LINEAR)
             return {"image": img, "label": np.int32(rec["label"])}
         return fn

@@ -92,6 +92,14 @@ class HostLoader:
             rng = np.random.RandomState(
                 (self.seed * 1000003 + self.epoch) % (2 ** 32))
             idx = rng.permutation(idx)
+        if self.process_count > 1 and len(idx):
+            # DistributedSampler semantics: pad with wraparound so every
+            # process gets the SAME number of samples (and therefore runs
+            # the same number of steps -- unequal shard lengths would
+            # desynchronize the SPMD collectives in the jitted train step)
+            target = -(-len(idx) // self.process_count) * self.process_count
+            if target > len(idx):
+                idx = np.concatenate([idx, idx[:target - len(idx)]])
         return idx[self.process_index::self.process_count]
 
     def _batches(self) -> List[np.ndarray]:
@@ -161,9 +169,12 @@ class HostLoader:
                 _put(_SENTINEL)
 
         thread = threading.Thread(target=producer, daemon=True)
-        thread.start()
 
         def gen():
+            # start the producer lazily on first next(): if the returned
+            # iterator is never consumed, no thread (or stuck put-loop) is
+            # ever created to leak
+            thread.start()
             try:
                 while True:
                     item = q.get()

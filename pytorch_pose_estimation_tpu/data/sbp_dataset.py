@@ -6,10 +6,13 @@ bbox, resizes to the model input, and ships uint8 pixels + joint metadata;
 ALL randomized augmentation (rotate / random-resized-crop / color jitter)
 and the Gaussian target stamping run inside the jitted train step on
 device (train/steps.py, ops/image.py, ops/targets.py).  The optional host
-CLAHE reproduces the reference's Albumentations CLAHE semantics exactly
-(train transform list, reference: dataset/sbp_coco_dataset.py:220-232);
-set ``clahe: device`` in the config to run the luma variant on device
-instead.
+CLAHE reproduces the reference's Albumentations CLAHE OP semantics
+(LAB-L channel, uniform clip limit, p=0.5 per sample) but NOT its
+pipeline position: the reference applies CLAHE after Rotate
+(dataset/sbp_coco_dataset.py:213-222, Rotate->CLAHE->ColorJitter->RRC)
+while the host variant runs on the resized crop before the device-side
+rotation.  Set ``clahe: device`` in the config to run the luma variant on
+device in the reference position instead (between rotate and jitter).
 
 Annotation sanitization reproduces the reference's rules element-for-
 element (reference: dataset/sbp_coco_dataset.py:97-169):

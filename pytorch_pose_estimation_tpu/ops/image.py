@@ -217,6 +217,64 @@ def rotate_shear3(img: jnp.ndarray, angle, cy: float,
     return _shear_x(img, alpha, cy)
 
 
+def _shear_x_grouped(img: jnp.ndarray, alpha: jnp.ndarray,
+                     cy: float) -> jnp.ndarray:
+    """Horizontal shear with one angle per GROUP: img [G, Bg, H, W, C],
+    alpha [G].  One einsum with a [G, H, W_out, W_in] weight tensor --
+    still matmul-shaped, never a gather."""
+    h, w = img.shape[-3], img.shape[-2]
+    ys = jnp.arange(h, dtype=jnp.float32)
+    xs = jnp.arange(w, dtype=jnp.float32)
+    src = (xs[None, None, :]
+           - alpha[:, None, None] * (ys[None, :, None] - cy))  # [G, H, W]
+    wt = _interp_weights(src, w)                    # [G, H, W_out, W_in]
+    return jnp.einsum("gbhwc,ghvw->gbhvc", img.astype(jnp.bfloat16), wt,
+                      preferred_element_type=jnp.float32)
+
+
+def _shear_y_grouped(img: jnp.ndarray, beta: jnp.ndarray,
+                     cx: float) -> jnp.ndarray:
+    """Vertical shear with one angle per group: img [G, Bg, H, W, C]."""
+    h, w = img.shape[-3], img.shape[-2]
+    ys = jnp.arange(h, dtype=jnp.float32)
+    xs = jnp.arange(w, dtype=jnp.float32)
+    src = (ys[None, :, None]
+           - beta[:, None, None] * (xs[None, None, :] - cx))   # [G, H, W]
+    wt = _interp_weights(src, h)                    # [G, H_out, W, H_in]
+    return jnp.einsum("gbhwc,gvwh->gbvwc", img.astype(jnp.bfloat16), wt,
+                      preferred_element_type=jnp.float32)
+
+
+def rotate_shear3_grouped(img: jnp.ndarray, angles: jnp.ndarray,
+                          cy: float, cx: float) -> jnp.ndarray:
+    """Rotate [B, H, W, C] with G distinct angles (contiguous groups of
+    B/G samples share one angle) via the same Paeth 3-shear path as
+    `rotate_shear3`.  B must be divisible by len(angles).
+
+    A fully per-sample warp would need a [B, H, W, W] weight tensor (or a
+    generic gather, measured ~56x slower on v5e); G grouped weight tensors
+    keep the op matmul-shaped while restoring intra-batch angle diversity
+    (G draws per batch instead of 1)."""
+    b = img.shape[0]
+    g = angles.shape[0]
+    grouped = img.reshape((g, b // g) + img.shape[1:])
+    alpha = -jnp.tan(angles / 2.0)
+    beta = jnp.sin(angles)
+    grouped = _shear_x_grouped(grouped, alpha, cy)
+    grouped = _shear_y_grouped(grouped, beta, cx)
+    grouped = _shear_x_grouped(grouped, alpha, cy)
+    return grouped.reshape((b,) + grouped.shape[2:])
+
+
+def n_angle_groups(batch: int, requested: int) -> int:
+    """Largest divisor of ``batch`` that is <= ``requested`` (grouped
+    rotation needs B % G == 0); small batches degrade to per-sample."""
+    g = max(1, min(int(requested), int(batch)))
+    while batch % g:
+        g -= 1
+    return g
+
+
 def crop_resize_mxu(img: jnp.ndarray, x0, y0, cw, ch) -> jnp.ndarray:
     """Per-example crop box -> full-size resize as two weight-matrix
     contractions (img: [B, H, W, C]; x0/y0/cw/ch: [B] crop boxes in input
@@ -317,9 +375,13 @@ def color_jitter(key, img: jnp.ndarray, brightness: float = 0.5,
 
 def color_jitter_batch(key, imgs: jnp.ndarray, brightness: float = 0.5,
                        contrast: float = 0.2, saturation: float = 0.5,
-                       hue: float = 0.1) -> jnp.ndarray:
+                       hue: float = 0.1,
+                       apply_prob: float = 1.0) -> jnp.ndarray:
     """ColorJitter over a batch [B, H, W, 3]: per-EXAMPLE factors, one
-    BATCH-shared op order.
+    BATCH-shared op order, per-example Bernoulli(``apply_prob``) apply
+    mask (Albumentations wraps ColorJitter in p=0.5 per sample --
+    reference: dataset/sbp_coco_dataset.py:222-227; non-applied samples
+    come back bit-identical, not via near-identity factors).
 
     Under vmap the per-example `color_jitter`'s lax.switch lowers to a
     select over ALL four branches -- 16 full-image passes per step, with
@@ -336,7 +398,7 @@ def color_jitter_batch(key, imgs: jnp.ndarray, brightness: float = 0.5,
     import itertools
 
     b = imgs.shape[0]
-    k_b, k_c, k_s, k_h, k_perm = jax.random.split(key, 5)
+    k_b, k_c, k_s, k_h, k_perm, k_apply = jax.random.split(key, 6)
     shape = (b, 1, 1, 1)
     fb = jax.random.uniform(k_b, shape, minval=1 - brightness,
                             maxval=1 + brightness)
@@ -380,7 +442,11 @@ def color_jitter_batch(key, imgs: jnp.ndarray, brightness: float = 0.5,
 
     branches = [chain(o) for o in itertools.permutations(range(4))]
     idx = jax.random.randint(k_perm, (), 0, len(branches))
-    return jax.lax.switch(idx, branches, imgs)
+    out = jax.lax.switch(idx, branches, imgs)
+    if apply_prob < 1.0:
+        apply = jax.random.uniform(k_apply, (b, 1, 1, 1)) < apply_prob
+        out = jnp.where(apply, out, imgs)
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -470,7 +536,8 @@ def _sample_crop(key, h: int, w: int, scale_range, ratio_range):
     return x0, y0, cw, ch
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10))
+@functools.partial(jax.jit,
+                   static_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12, 13))
 def augment_batch(key, images_u8, joints, vis, out_hw: Tuple[int, int],
                   rotate_limit: float = 40.0,
                   scale_range: Tuple[float, float] = (0.4, 1.0),
@@ -478,9 +545,15 @@ def augment_batch(key, images_u8, joints, vis, out_hw: Tuple[int, int],
                   jitter_params: Tuple[float, float, float, float] =
                   (0.5, 0.2, 0.5, 0.1),
                   clahe_prob: float = 0.0,
-                  out_dtype=jnp.float32):
-    """Train-time batch augmentation: random rotate + random-resized-crop +
-    color jitter (+ optional device CLAHE).
+                  out_dtype=jnp.float32,
+                  rotate_prob: float = 0.5,
+                  jitter_prob: float = 0.5,
+                  angle_groups: int = 8):
+    """Train-time batch augmentation in the reference's op order:
+    Rotate(p=0.5) -> [device CLAHE(p), opt-in] -> ColorJitter(p=0.5) ->
+    RandomResizedCrop(p=1) (reference train transform,
+    dataset/sbp_coco_dataset.py:220-232; Albumentations' per-sample
+    default p=0.5 applies to Rotate / CLAHE / ColorJitter, RRC is p=1).
 
     images_u8: [B, H, W, 3] uint8; joints: [B, K, 2] in input px;
     vis: [B, K].  Returns (images [0,1] in ``out_dtype``, joints, vis).
@@ -489,32 +562,46 @@ def augment_batch(key, images_u8, joints, vis, out_hw: Tuple[int, int],
     fp32->bf16 conversion pass in front of the first conv.
 
     TPU notes -- every pixel-moving stage is matmul-shaped (MXU), never a
-    gather, and batch-wide scalars are shared where the per-step
-    distribution is unchanged by it:
-    * rotation: angle sampled once per BATCH (a per-example warp matrix
-      forces a generic dynamic gather measured ~56x slower on v5e), pixels
-      moved by the Paeth 3-shear einsum path (`rotate_shear3`, 2.0 ms at
-      B=256 vs 7.1 ms for the shared-matrix bilinear gather);
+    gather:
+    * rotation: G = ``n_angle_groups(B, angle_groups)`` distinct angles
+      per batch, contiguous groups of B/G samples sharing one grouped
+      3-shear einsum (`rotate_shear3_grouped`; a fully per-sample warp
+      matrix forces a generic dynamic gather measured ~56x slower on
+      v5e).  On top of the G angle draws, each SAMPLE independently
+      applies or skips the rotation (Bernoulli p=0.5, one select against
+      the unrotated buffer); keypoints ride the exact per-sample
+      effective rotation matrix (angle or 0);
     * random-resized-crop: fully per-example, two interpolation-matrix
       contractions (`crop_resize_mxu`);
-    * color jitter: per-example factors, batch-shared op ORDER
-      (`color_jitter_batch` -- a vmapped lax.switch would run all four
-      ops' branches per slot, 16 full-image passes instead of 4).
+    * color jitter: per-example factors + per-example p=0.5 apply mask,
+      batch-shared op ORDER (`color_jitter_batch` -- a vmapped
+      lax.switch would run all four ops' branches per slot, 16
+      full-image passes instead of 4).
     Crop/scale/aspect and all photometric factors remain per-example.
     """
     b = images_u8.shape[0]
     h, w = out_hw
-    k_rot, k_crop, k_col, k_cl = jax.random.split(key, 4)
+    k_rot, k_rapply, k_crop, k_col, k_cl = jax.random.split(key, 5)
     imgs = images_u8.astype(jnp.float32) / 255.0
 
-    # batch-shared rotation, exact joint map, 3-shear pixel map
-    angle = jax.random.uniform(k_rot, (), minval=-rotate_limit,
-                               maxval=rotate_limit) * jnp.pi / 180.0
-    rot = _rotation_about(w / 2.0, h / 2.0, angle)
-    imgs = rotate_shear3(imgs, angle, h / 2.0, w / 2.0)
-    joints = jax.vmap(lambda p: transform_points(rot, p))(joints)
+    # grouped per-sample rotation angles, per-sample apply probability
+    g = n_angle_groups(b, angle_groups)
+    angles = jax.random.uniform(k_rot, (g,), minval=-rotate_limit,
+                                maxval=rotate_limit) * jnp.pi / 180.0
+    angle_per = jnp.repeat(angles, b // g)                      # [B]
+    if rotate_prob >= 1.0:
+        apply_rot = jnp.ones((b,), bool)
+    else:
+        apply_rot = jax.random.uniform(k_rapply, (b,)) < rotate_prob
+    eff_angle = jnp.where(apply_rot, angle_per, 0.0)
+    rotated = rotate_shear3_grouped(imgs, angles, h / 2.0, w / 2.0)
+    imgs = jnp.where(apply_rot[:, None, None, None], rotated, imgs)
+    rots = jax.vmap(lambda a: _rotation_about(w / 2.0, h / 2.0, a))(
+        eff_angle)                                              # [B, 2, 3]
+    joints = jax.vmap(transform_points)(rots, joints)
 
-    # optional device CLAHE (per-example, opt-in)
+    # optional device CLAHE (per-example, opt-in; reference position:
+    # after Rotate, before ColorJitter)
     if clahe_prob > 0:
         keys_cl = jax.random.split(k_cl, b)
 
@@ -527,12 +614,21 @@ def augment_batch(key, images_u8, joints, vis, out_hw: Tuple[int, int],
 
         imgs = jax.vmap(_clahe_one)(keys_cl, imgs)
 
+    # color jitter BEFORE the crop, as in the reference transform list
+    # (contrast then blends against the pre-crop image mean)
+    imgs = color_jitter_batch(k_col, imgs.astype(out_dtype),
+                              *jitter_params, apply_prob=jitter_prob)
+
     # per-example random-resized-crop via weight-matrix contractions
     keys_crop = jax.random.split(k_crop, b)
     x0, y0, cw, ch = jax.vmap(
         lambda kk: _sample_crop(kk, h, w, scale_range, ratio_range)
     )(keys_crop)
-    imgs = crop_resize_mxu(imgs, x0, y0, cw, ch).astype(out_dtype)
+    # final clip to [0, 1]: bf16-rounded interpolation weights can sum to
+    # slightly >1 per row, and with the jitter (and its clip) now ahead of
+    # the crop nothing downstream would bound the overshoot
+    imgs = jnp.clip(crop_resize_mxu(imgs, x0, y0, cw, ch), 0.0,
+                    1.0).astype(out_dtype)
     sx = (w / cw)[:, None]
     sy = (h / ch)[:, None]
     new_pts = jnp.stack([(joints[..., 0] - x0[:, None]) * sx,
@@ -540,8 +636,6 @@ def augment_batch(key, images_u8, joints, vis, out_hw: Tuple[int, int],
     inside = (new_pts[..., 0] >= 0) & (new_pts[..., 0] < w) & \
              (new_pts[..., 1] >= 0) & (new_pts[..., 1] < h)
     new_vis = vis * inside.astype(vis.dtype)
-
-    imgs = color_jitter_batch(k_col, imgs, *jitter_params)
     return imgs, new_pts, new_vis
 
 

@@ -57,6 +57,11 @@ def make_sbp_steps(model, optimizer, input_size, output_size: Tuple[int, int],
     ratio_range = tuple(augment.get("ratio_range", (0.4, 1.6)))
     jitter = tuple(augment.get("color_jitter", (0.5, 0.2, 0.5, 0.1)))
     clahe_prob = float(augment.get("clahe_prob", 0.0))  # device CLAHE
+    # Albumentations default per-sample apply probability is 0.5 for
+    # Rotate and ColorJitter (reference: dataset/sbp_coco_dataset.py:220-227)
+    rotate_prob = float(augment.get("rotate_prob", 0.5))
+    jitter_prob = float(augment.get("jitter_prob", 0.5))
+    angle_groups = int(augment.get("angle_groups", 8))
     out_hw = (int(input_size[0]), int(input_size[1]))
 
     model_dtype = getattr(model, "dtype", jnp.float32) or jnp.float32
@@ -65,7 +70,8 @@ def make_sbp_steps(model, optimizer, input_size, output_size: Tuple[int, int],
         images, joints, vis = augment_batch(
             rng, batch["image"], batch["joints"], batch["joints_vis"],
             out_hw, rotate_limit, scale_range, ratio_range, jitter,
-            clahe_prob, model_dtype)
+            clahe_prob, model_dtype, rotate_prob, jitter_prob,
+            angle_groups)
         target = _sbp_targets(joints, vis, ratio, output_size,
                               num_keypoints, sigma)
 
@@ -121,6 +127,7 @@ def make_spm_steps(model, optimizer, input_size: int, output_size: int,
     ratio = output_size / input_size
     augment = augment or {}
     jitter = tuple(augment.get("color_jitter", (0.5, 0.2, 0.5, 0.1)))
+    jitter_prob = float(augment.get("jitter_prob", 0.5))
     geometric = bool(augment.get("geometric", False))
     rotate_limit = augment.get("rotate_limit", 30.0)
     scale_range = tuple(augment.get("scale_range", (0.6, 1.0)))
@@ -155,7 +162,8 @@ def make_spm_steps(model, optimizer, input_size: int, output_size: int,
         else:
             dt = getattr(model, "dtype", jnp.float32) or jnp.float32
             images = batch["image"].astype(dt) / jnp.asarray(255.0, dt)
-            images = color_jitter_batch(rng, images, *jitter)
+            images = color_jitter_batch(rng, images, *jitter,
+                                        apply_prob=jitter_prob)
             target = _targets(batch["joints"], batch["centers"])
 
         def loss_fn(params):

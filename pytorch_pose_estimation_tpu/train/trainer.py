@@ -344,15 +344,17 @@ class Trainer:
                     jax.profiler.stop_trace()
                     self._profiling = False
                 n_img += len(batch["image"])
+                # keep the device scalar (no host sync per step); the
+                # epoch mean below is then the exact mean over ALL steps,
+                # not a every-log_every-th sample
+                epoch_losses.append(loss)
                 if self.global_step % self.log_every == 0:
-                    loss_f = float(loss)
-                    epoch_losses.append(loss_f)
-                    self._log("train_loss", loss_f, self.global_step)
+                    self._log("train_loss", float(loss), self.global_step)
                     self._log("lr-step", float(self.schedule(
                         self.global_step - 1)), self.global_step)
             dt = time.time() - t0
-            mean_loss = float(np.mean(epoch_losses)) if epoch_losses else \
-                float(loss)
+            mean_loss = float(jnp.mean(jnp.stack(epoch_losses))) if \
+                epoch_losses else float("nan")
             print(f"epoch {epoch}: train_loss={mean_loss:.4f} "
                   f"({n_img / max(dt, 1e-9):.1f} img/s)")
 

@@ -66,6 +66,24 @@ def test_host_loader_process_sharding():
     assert not (shard0 & shard1)
 
 
+def test_host_loader_shards_run_equal_step_counts():
+    """Uneven dataset sizes must NOT give processes different batch counts
+    (DistributedSampler wraparound-padding semantics): 7 records, 2
+    processes, batch 4, drop_last -- both shards must see ceil(7/2)=4
+    records and produce the same number of batches, or the SPMD
+    collectives in the jitted step would deadlock."""
+    def mk(pi):
+        return HostLoader(_db(7), _sample_fn, 4, drop_last=True,
+                          process_index=pi, process_count=2)
+
+    b0 = list(mk(0))
+    b1 = list(mk(1))
+    assert len(mk(0)) == len(mk(1)) == len(b0) == len(b1) == 1
+    # wraparound padding still covers the whole dataset across shards
+    seen = {v for b in (b0 + b1) for v in b["v"][:, 0].tolist()}
+    assert seen == {v * 10 for v in range(7)}
+
+
 def test_pad_batch():
     b = collate([{"x": np.ones((3,))} for _ in range(5)])
     p = pad_batch(b, 8)
