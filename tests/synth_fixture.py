@@ -55,6 +55,7 @@ def _render_person(img, box, joints, rng):
 
 def make_dataset(outdir: str, split: str, n_images: int, seed: int = 0,
                  img_size=(320, 400), max_persons: int = 3,
+                 min_persons: int = 1,
                  absolute_paths: bool = False) -> str:
     """Write images + annotations; returns the annotation json path."""
     rng = np.random.RandomState(seed)
@@ -70,7 +71,7 @@ def make_dataset(outdir: str, split: str, n_images: int, seed: int = 0,
         img_id = i + 1
         fname = f"{img_id:012d}.jpg"
         img = np.full((H, W, 3), 30, np.uint8)
-        n_person = rng.randint(1, max_persons + 1)
+        n_person = rng.randint(min_persons, max_persons + 1)
         for _ in range(n_person):
             pw = rng.randint(60, 140)
             ph = rng.randint(100, 220)
