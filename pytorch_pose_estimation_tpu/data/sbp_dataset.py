@@ -152,7 +152,7 @@ class SBPCOCODataModule:
                  workers: int, batch_size: int,
                  class_labels: Sequence[str], img_dir: str = None,
                  use_native: Optional[bool] = None, clahe_prob: float = 0.5,
-                 seed: int = 0):
+                 seed: int = 0, cache_images: bool = False):
         self.train_path = train_path
         self.val_path = val_path
         self.img_dir = img_dir
@@ -169,6 +169,13 @@ class SBPCOCODataModule:
         # p=0.5); the Trainer zeroes this when CLAHE runs on device
         self.clahe_prob = float(clahe_prob)
         self.seed = int(seed)
+        # opt-in host RAM cache of the post-crop/resize uint8 arrays
+        # (deterministic per record: the bbox crop happens before any
+        # randomized augmentation).  ~input_h*input_w*3 bytes per instance;
+        # epochs 2+ skip file read + JPEG decode + crop + resize entirely,
+        # which on a host-bound box is most of the feed cost.
+        self.cache_images = bool(cache_images)
+        self._crop_cache = {True: {}, False: {}}
         self.process_index = 0
         self.process_count = 1
         self.train_db: List[dict] = []
@@ -229,8 +236,14 @@ class SBPCOCODataModule:
                           interpolation=cv2.INTER_LINEAR)
 
     def _sample_fn(self, train: bool):
+        cache = self._crop_cache[train] if self.cache_images else None
+
         def fn(rec, index, epoch):
-            image = self._load_crop_cv2(rec)
+            image = cache.get(index) if cache is not None else None
+            if image is None:
+                image = self._load_crop_cv2(rec)
+                if cache is not None:
+                    cache[index] = image
             if train and self.clahe_prob > 0:
                 rng = _sample_rng(self.seed, epoch, index)
                 if rng.uniform() < self.clahe_prob:
@@ -246,16 +259,28 @@ class SBPCOCODataModule:
         in_h, in_w = self.input_size
 
         def fn(records, indices, epoch):
-            blobs = []
-            boxes = []
-            for rec in records:
+            cache = self._crop_cache[train] if self.cache_images else None
+            images = [None] * len(records)
+            miss, blobs, boxes = [], [], []
+            for i, (rec, index) in enumerate(zip(records, indices)):
+                if cache is not None:
+                    hit = cache.get(int(index))
+                    if hit is not None:
+                        images[i] = hit
+                        continue
+                miss.append(i)
                 with open(rec["image_path"], "rb") as f:
                     blobs.append(f.read())
                 b = rec["bbox"]
                 boxes.append((int(b[0]), int(b[1]), int(b[2]), int(b[3])))
-            images = native_loader.batch_decode_crop_resize(
-                blobs, boxes, in_h, in_w,
-                n_threads=max(self.workers, 1))
+            if blobs:
+                decoded = native_loader.batch_decode_crop_resize(
+                    blobs, boxes, in_h, in_w,
+                    n_threads=max(self.workers, 1))
+                for pos, img in zip(miss, decoded):
+                    images[pos] = img
+                    if cache is not None:
+                        cache[int(indices[pos])] = img
             samples = []
             for i, (rec, index) in enumerate(zip(records, indices)):
                 image = images[i]

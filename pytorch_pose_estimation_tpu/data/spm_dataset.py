@@ -84,7 +84,7 @@ class SPMCOCODataModule:
                  sigma: float, workers: int, batch_size: int,
                  class_labels: Sequence[str], max_persons: int = 30,
                  use_native: Optional[bool] = None, clahe_prob: float = 0.5,
-                 seed: int = 0):
+                 seed: int = 0, cache_images: bool = False):
         self.train_path = train_path
         self.val_path = val_path
         self.img_dir = img_dir
@@ -100,6 +100,10 @@ class SPMCOCODataModule:
             else bool(use_native)
         self.clahe_prob = float(clahe_prob)
         self.seed = int(seed)
+        # opt-in RAM cache of the resized uint8 images (see
+        # sbp_dataset.SBPCOCODataModule.cache_images)
+        self.cache_images = bool(cache_images)
+        self._img_cache = {True: {}, False: {}}
         self.process_index = 0
         self.process_count = 1
         self.train_db: List[dict] = []
@@ -144,11 +148,17 @@ class SPMCOCODataModule:
 
     def _sample_fn(self, train: bool):
         s = self.input_size
+        cache = self._img_cache[train] if self.cache_images else None
 
         def fn(rec, index, epoch):
-            img = cv2.cvtColor(cv2.imread(rec["image_path"]),
-                               cv2.COLOR_BGR2RGB)
-            img = cv2.resize(img, (s, s), interpolation=cv2.INTER_LINEAR)
+            img = cache.get(index) if cache is not None else None
+            if img is None:
+                img = cv2.cvtColor(cv2.imread(rec["image_path"]),
+                                   cv2.COLOR_BGR2RGB)
+                img = cv2.resize(img, (s, s),
+                                 interpolation=cv2.INTER_LINEAR)
+                if cache is not None:
+                    cache[index] = img
             if train and self.clahe_prob > 0:
                 rng = _sample_rng(self.seed, epoch, index)
                 if rng.uniform() < self.clahe_prob:
@@ -162,13 +172,26 @@ class SPMCOCODataModule:
         s = self.input_size
 
         def fn(records, indices, epoch):
-            blobs = []
-            for rec in records:
+            cache = self._img_cache[train] if self.cache_images else None
+            images = [None] * len(records)
+            miss, blobs = [], []
+            for i, (rec, index) in enumerate(zip(records, indices)):
+                if cache is not None:
+                    hit = cache.get(int(index))
+                    if hit is not None:
+                        images[i] = hit
+                        continue
+                miss.append(i)
                 with open(rec["image_path"], "rb") as f:
                     blobs.append(f.read())
-            images = native_loader.batch_decode_crop_resize(
-                blobs, [(-1, -1, -1, -1)] * len(records), s, s,
-                n_threads=max(self.workers, 1))
+            if blobs:
+                decoded = native_loader.batch_decode_crop_resize(
+                    blobs, [(-1, -1, -1, -1)] * len(blobs), s, s,
+                    n_threads=max(self.workers, 1))
+                for pos, img in zip(miss, decoded):
+                    images[pos] = img
+                    if cache is not None:
+                        cache[int(indices[pos])] = img
             samples = []
             for i, (rec, index) in enumerate(zip(records, indices)):
                 image = images[i]

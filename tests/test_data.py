@@ -113,6 +113,43 @@ def test_sbp_datamodule_sample(tmp_path):
     assert (j[:, 1] >= 0).all() and (j[:, 1] <= 128).all()
 
 
+def test_sbp_datamodule_image_cache(tmp_path):
+    """cache_images=True: epochs 2+ are served from RAM (no file access),
+    and cached batches are byte-identical to fresh decodes."""
+    import os
+
+    from pytorch_pose_estimation_tpu.data import SBPCOCODataModule
+
+    root = str(tmp_path)
+    json_path = make_dataset(root, "val2017", 4, seed=5)
+
+    def build(cache):
+        dm = SBPCOCODataModule(
+            train_path=json_path, val_path=json_path, img_dir=root,
+            input_size=[128, 96], output_size=[32, 24], num_keypoints=17,
+            sigma=2, workers=2, batch_size=2,
+            class_labels=[str(i) for i in range(17)], cache_images=cache)
+        dm.setup()
+        return dm
+
+    fresh = [b["image"] for b in build(False).val_loader()]
+    dm = build(True)
+    first = [b["image"] for b in dm.val_loader()]
+    for a, b in zip(fresh, first):
+        np.testing.assert_array_equal(a, b)
+
+    # remove the image files: only the cache can serve the second epoch
+    img_dir = os.path.join(root, "val2017")
+    moved = os.path.join(root, "val2017_moved")
+    os.rename(img_dir, moved)
+    try:
+        second = [b["image"] for b in dm.val_loader()]
+    finally:
+        os.rename(moved, img_dir)
+    for a, b in zip(first, second):
+        np.testing.assert_array_equal(a, b)
+
+
 # ---------------------------------------------------------------------
 # affine / photometric math
 # ---------------------------------------------------------------------

@@ -23,6 +23,7 @@ def train(cfg, resume=None):
         workers=cfg["workers"],
         batch_size=cfg["batch_size"],
         class_labels=cfg["class_labels"],
+        cache_images=bool(cfg.get("cache_images", False)),
     )
     data_module.prepare_data()
     data_module.setup()
