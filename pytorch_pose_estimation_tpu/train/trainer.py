@@ -17,6 +17,7 @@ shapes static.
 
 from __future__ import annotations
 
+import json
 import os
 import time
 from typing import Optional
@@ -272,19 +273,48 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _find_auto_resume(self) -> Optional[str]:
-        """Latest version dir's 'last' checkpoint (preemption recovery)."""
+        """Highest-step finalized checkpoint across version dirs
+        (preemption recovery).  'last' may be missing or half-written (a
+        kill mid-save leaves only ``*.orbax-checkpoint-tmp``), so fall
+        back to the newest ``epoch=E-step=S`` checkpoint; ties prefer
+        'last'.  'best' is excluded (resuming from it would silently
+        rewind training to the best-val epoch)."""
         base = os.path.join(self.cfg.get("save_dir", "./saved"),
                             make_model_name(self.cfg))
         if not os.path.isdir(base):
             return None
-        versions = sorted(
-            (d for d in os.listdir(base) if d.startswith("version_")),
-            key=lambda d: int(d.split("_")[1]), reverse=True)
-        for v in versions:
-            last = os.path.join(base, v, "checkpoints", "last")
-            if os.path.isdir(last):
-                return last
-        return None
+        candidates = []  # (step, prefer_last, path)
+        for v in os.listdir(base):
+            cdir = os.path.join(base, v, "checkpoints")
+            if not v.startswith("version_") or not os.path.isdir(cdir):
+                continue
+            for name in os.listdir(cdir):
+                path = os.path.join(cdir, name)
+                if not os.path.isdir(path) or name.endswith(
+                        ".orbax-checkpoint-tmp"):
+                    continue
+                if name == "last":
+                    meta = self._read_ckpt_meta(path)
+                    candidates.append(
+                        (int(meta.get("step", 0)), 1, path))
+                elif name.startswith("epoch=") and "step=" in name:
+                    try:
+                        step = int(name.split("step=")[1])
+                    except ValueError:
+                        continue
+                    candidates.append((step, 0, path))
+        if not candidates:
+            return None
+        return max(candidates)[2]
+
+    @staticmethod
+    def _read_ckpt_meta(path: str) -> dict:
+        meta_path = path + ".meta.json"
+        try:
+            with open(meta_path) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return {}
 
     def fit(self, resume: Optional[str] = None):
         cfg = self.cfg

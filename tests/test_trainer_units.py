@@ -44,18 +44,39 @@ def test_pad_to_devices(tmp_path):
 
 
 def test_find_auto_resume(tmp_path):
+    import json
+
     tr = _mk_trainer(tmp_path)
     assert tr._find_auto_resume() is None
 
     base = os.path.join(str(tmp_path / "saved"),
                         "simple-baselines-pose_coco-keypoints")
-    # version_0 has no 'last'; version_2 does; version_1 does too -> pick 2
+
+    def mk(version, name, step=None):
+        path = os.path.join(base, version, "checkpoints", name)
+        os.makedirs(path)
+        if step is not None:
+            with open(path + ".meta.json", "w") as f:
+                json.dump({"epoch": 0, "step": step}, f)
+        return path
+
+    # kill-mid-save recovery: version_1's 'last' exists only as a
+    # half-written orbax tmp dir -> fall back to the newest finalized
+    # epoch checkpoint, across versions
     os.makedirs(os.path.join(base, "version_0", "checkpoints"))
-    os.makedirs(os.path.join(base, "version_1", "checkpoints", "last"))
-    os.makedirs(os.path.join(base, "version_2", "checkpoints", "last"))
-    found = tr._find_auto_resume()
-    assert found and found.endswith(os.path.join("version_2", "checkpoints",
-                                                 "last"))
+    mk("version_0", "epoch=4-step=190")
+    e24 = mk("version_1", "epoch=24-step=950")
+    mk("version_1", "last.orbax-checkpoint-tmp")
+    mk("version_1", "best", step=570)  # never picked
+    assert tr._find_auto_resume() == e24
+
+    # a finalized 'last' at the same step wins the tie over epoch=...
+    last = mk("version_1", "last", step=950)
+    assert tr._find_auto_resume() == last
+
+    # ...but a newer epoch checkpoint beats a stale 'last'
+    e29 = mk("version_2", "epoch=29-step=1140")
+    assert tr._find_auto_resume() == e29
 
 
 def test_metric_absent_without_val(tmp_path):
