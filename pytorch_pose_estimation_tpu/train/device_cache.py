@@ -1,0 +1,146 @@
+"""Device-resident training-set cache (``cache_device: true``).
+
+The reference feeds every batch through 32 host DataLoader workers and a
+PCIe copy (reference: dataset/sbp_coco_dataset.py:259-277).  On this
+framework all randomized augmentation already runs on device inside the
+jitted train step, so the per-instance host product is a DETERMINISTIC
+uint8 crop -- which means the whole training set can live in HBM: a
+256x192 crop is 147 KB, so even the reference's full 64,115-instance COCO
+train split is ~9.4 GB, inside a single v5e chip's 16 GB.  After a
+one-time upload, the feed path per step is a [B] int32 index array (1 KB)
+instead of a 37 MB pixel batch; training runs at fused-train-step speed
+with the host loader and the H2D link out of the hot loop entirely.
+
+Batches are gathered on device via a ``shard_map`` over the data mesh:
+each device holds a contiguous shard of the (padded) instance axis and
+gathers only from its own shard, so the per-step index gather is purely
+local (no collectives).  Shuffling is therefore per-shard rather than
+global: the DB order is globally permuted ONCE (seeded) before sharding,
+then each epoch draws an independent permutation inside every shard --
+the same stratified-shuffle semantics as torch's DistributedSampler
+(shard assignment fixed across epochs, order within a shard random).
+Shards are padded to equal length by wraparound, as in data/pipeline.py.
+
+Single-host only (the cache holds the full instance set; multi-host runs
+keep the streaming host loader with interleaved per-process shards).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Iterator, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..parallel.mesh import DATA_AXIS
+
+
+class DeviceDataCache:
+    """Holds train arrays sharded over the mesh's data axis and serves
+    per-epoch batches gathered on device.
+
+    arrays: dict of [N, ...] host numpy arrays (same leading N).  The
+    leading axis is permuted once by ``seed``, padded by wraparound to a
+    multiple of the mesh size, and uploaded with the instance axis sharded.
+    """
+
+    def __init__(self, mesh: Mesh, arrays: Dict[str, np.ndarray],
+                 batch_size: int, seed: int = 0):
+        if jax.process_count() > 1:
+            raise NotImplementedError(
+                "cache_device is single-host; multi-host runs use the "
+                "streaming loader with per-process shards")
+        names = sorted(arrays)
+        n = len(arrays[names[0]])
+        if n == 0:
+            raise ValueError("empty dataset")
+        self.mesh = mesh
+        self.n_devices = int(mesh.devices.size)
+        self.batch_size = int(batch_size)
+        if self.batch_size % self.n_devices:
+            raise ValueError(
+                f"batch_size {batch_size} not divisible by mesh size "
+                f"{self.n_devices}")
+        self.seed = int(seed)
+        self._names = names
+
+        # one global permutation so fixed shard assignment is not
+        # correlated with DB (file/annotation) order
+        rng = np.random.RandomState((seed * 2654435761 + 97) % (2 ** 32))
+        order = rng.permutation(n)
+        n_pad = -(-n // self.n_devices) * self.n_devices
+        if n_pad > n:
+            order = np.concatenate([order, order[:n_pad - n]])
+        self.n_total = n_pad
+        self.n_local = n_pad // self.n_devices
+        self.per_device_batch = self.batch_size // self.n_devices
+        if self.per_device_batch > self.n_local:
+            raise ValueError(
+                f"per-device batch {self.per_device_batch} exceeds the "
+                f"{self.n_local}-instance device shard")
+        self.steps_per_epoch = self.n_local // self.per_device_batch
+
+        sharded = NamedSharding(mesh, P(DATA_AXIS))
+        self._data = {k: jax.device_put(arrays[k][order], sharded)
+                      for k in names}
+        self._idx_sharding = sharded
+
+        in_specs = (P(DATA_AXIS),) + tuple(P(DATA_AXIS) for _ in names)
+        out_specs = tuple(P(DATA_AXIS) for _ in names)
+
+        @jax.jit
+        @functools.partial(jax.shard_map, mesh=mesh, in_specs=in_specs,
+                           out_specs=out_specs)
+        def _gather(idx, *arrs):
+            # idx is shard-local: every device reads only its own rows
+            return tuple(jnp.take(a, idx, axis=0) for a in arrs)
+
+        self._gather = _gather
+
+    # ------------------------------------------------------------------
+    def nbytes(self) -> int:
+        return sum(int(a.size) * a.dtype.itemsize
+                   for a in self._data.values())
+
+    def epoch_batches(self, epoch: int) -> Iterator[Dict[str, jax.Array]]:
+        """Yields ``steps_per_epoch`` batch dicts, already sharded over the
+        mesh (drop_last semantics, matching the host train loader)."""
+        rng = np.random.RandomState(
+            (self.seed * 1000003 + int(epoch)) % (2 ** 32))
+        # independent permutation inside each device shard
+        perms = np.stack([rng.permutation(self.n_local)
+                          for _ in range(self.n_devices)])  # [D, n_local]
+        pb = self.per_device_batch
+        for s in range(self.steps_per_epoch):
+            local = perms[:, s * pb:(s + 1) * pb].reshape(-1)
+            idx = jax.device_put(local.astype(np.int32), self._idx_sharding)
+            out = self._gather(idx, *(self._data[k] for k in self._names))
+            yield dict(zip(self._names, out))
+
+
+def build_device_cache(data_module, mesh: Mesh, batch_size: int,
+                       seed: int = 0,
+                       keys: Sequence[str] = ("image", "joints",
+                                              "joints_vis"),
+                       ) -> DeviceDataCache:
+    """Decode every train instance once through the data module's loader
+    (native C++ JPEG path when built) and upload the stacked arrays.
+    ``keys`` selects the per-kind batch fields (SBP/PIS: image/joints/
+    joints_vis; SPM: image/joints/centers).
+
+    Loads with val semantics (no shuffle, no host CLAHE, no drop_last):
+    the crop is deterministic, and randomized CLAHE moves on device
+    (ops/image.py::clahe_luma) where it can re-draw per epoch -- host
+    CLAHE baked into a cache would freeze one draw for the whole run.
+    """
+    loader = data_module._loader(data_module.train_db, train=False,
+                                 batch_size=batch_size)
+    parts: Dict[str, list] = {k: [] for k in keys}
+    for batch in loader:
+        for k in keys:
+            parts[k].append(batch[k])
+    arrays = {k: np.concatenate(parts[k], axis=0) for k in keys}
+    return DeviceDataCache(mesh, arrays, batch_size, seed=seed)

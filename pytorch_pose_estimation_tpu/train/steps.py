@@ -128,6 +128,7 @@ def make_spm_steps(model, optimizer, input_size: int, output_size: int,
     augment = augment or {}
     jitter = tuple(augment.get("color_jitter", (0.5, 0.2, 0.5, 0.1)))
     jitter_prob = float(augment.get("jitter_prob", 0.5))
+    clahe_prob = float(augment.get("clahe_prob", 0.0))  # device CLAHE
     geometric = bool(augment.get("geometric", False))
     rotate_limit = augment.get("rotate_limit", 30.0)
     scale_range = tuple(augment.get("scale_range", (0.6, 1.0)))
@@ -154,15 +155,31 @@ def make_spm_steps(model, optimizer, input_size: int, output_size: int,
                      ).astype(jnp.float32)
             images, pts, valid = augment_batch(
                 rng, batch["image"], pts, valid, (s, s), rotate_limit,
-                scale_range, ratio_range, jitter)
+                scale_range, ratio_range, jitter, clahe_prob)
             pts = jnp.where(valid[..., None] >= 1, pts, 0.0)
             joints = pts[:, :p * k2].reshape(b, p, k2, 2)
             centers = pts[:, p * k2:].reshape(b, p, 1, 2)
             target = _targets(joints, centers)
         else:
             dt = getattr(model, "dtype", jnp.float32) or jnp.float32
-            images = batch["image"].astype(dt) / jnp.asarray(255.0, dt)
-            images = color_jitter_batch(rng, images, *jitter,
+            k_cl, k_col = jax.random.split(rng)
+            images = batch["image"].astype(jnp.float32) / 255.0
+            if clahe_prob > 0:
+                # per-example device CLAHE, reference SPM transform position
+                # (CLAHE -> ColorJitter, dataset/spm_coco_dataset.py:228-241)
+                from ..ops.image import clahe_luma
+
+                def _clahe_one(kk, im):
+                    k_do, k_clip = jax.random.split(kk)
+                    clip = jax.random.uniform(k_clip, (), minval=1.0,
+                                              maxval=4.0)
+                    do = jax.random.uniform(k_do, ()) < clahe_prob
+                    return jax.lax.cond(do, lambda x: clahe_luma(x, clip),
+                                        lambda x: x, im)
+
+                images = jax.vmap(_clahe_one)(
+                    jax.random.split(k_cl, images.shape[0]), images)
+            images = color_jitter_batch(k_col, images.astype(dt), *jitter,
                                         apply_prob=jitter_prob)
             target = _targets(batch["joints"], batch["centers"])
 

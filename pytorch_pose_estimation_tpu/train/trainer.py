@@ -125,6 +125,16 @@ class Trainer:
         # Albumentations semantics), 'device' = luma CLAHE fused into the
         # jitted train step (ops/image.py::clahe_luma), 'off' disables it
         clahe_mode = cfg.get("clahe", "host")
+        # device-resident train cache serves batches that never touch the
+        # host again -> per-sample CLAHE must run on device too
+        self.cache_device = bool(cfg.get("cache_device"))
+        if self.cache_device and proc_cnt > 1:
+            print("cache_device is single-host; falling back to the "
+                  "streaming loader with per-process shards")
+            self.cache_device = False
+        self._device_cache = None  # built lazily on first fit()
+        if self.cache_device and clahe_mode == "host":
+            clahe_mode = "device"
         if data_module is not None and clahe_mode != "host" and \
                 hasattr(data_module, "clahe_prob"):
             data_module.clahe_prob = 0.0
@@ -350,14 +360,35 @@ class Trainer:
 
         best_val = float("inf")
         bad_rounds = 0
-        train_loader = self.dm.train_loader()
+        device_cache = None
+        train_loader = None
+        if self.cache_device:
+            if self._device_cache is None:
+                from .device_cache import build_device_cache
+
+                t0 = time.time()
+                self._device_cache = build_device_cache(
+                    self.dm, self.mesh, self.dm.batch_size,
+                    seed=cfg.get("seed", 0), keys=train_keys)
+                print(f"device cache: {self._device_cache.n_total} "
+                      f"instances, "
+                      f"{self._device_cache.nbytes() / 2 ** 20:.0f} MB in "
+                      f"HBM, {self._device_cache.steps_per_epoch} "
+                      f"steps/epoch (built in {time.time() - t0:.1f}s)")
+            device_cache = self._device_cache
+        else:
+            train_loader = self.dm.train_loader()
 
         for epoch in range(max_epochs):
-            train_loader.set_epoch(epoch)
+            if device_cache is not None:
+                batches = device_cache.epoch_batches(epoch)
+            else:
+                train_loader.set_epoch(epoch)
+                batches = train_loader
             epoch_losses = []
             t0 = time.time()
             n_img = 0
-            for batch in train_loader:
+            for batch in batches:
                 if self.profile_steps and \
                         self.global_step == self.profile_steps[0] and \
                         not self._profiling:
@@ -365,7 +396,10 @@ class Trainer:
                         self.version_dir or cfg.get("save_dir", "./saved"))
                     self._profiling = True
                 rng, step_key = jax.random.split(rng)
-                dev_batch = self._device_batch(batch, train_keys)
+                if device_cache is not None:  # already sharded on device
+                    dev_batch = batch
+                else:
+                    dev_batch = self._device_batch(batch, train_keys)
                 self.state, loss = self.train_step(self.state, dev_batch,
                                                    step_key)
                 self.global_step += 1

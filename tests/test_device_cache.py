@@ -1,0 +1,93 @@
+"""DeviceDataCache: on-device batch gather over the 8-device virtual mesh.
+
+The cache replaces the per-step host feed (see train/device_cache.py);
+these tests pin its contract: every batch row is a real dataset row, an
+epoch covers each shard-resident instance exactly once (drop_last aside),
+padding wraps around, gathers stay shard-local, and epochs reshuffle
+deterministically by seed.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from pytorch_pose_estimation_tpu.parallel.mesh import make_mesh
+from pytorch_pose_estimation_tpu.train.device_cache import DeviceDataCache
+
+
+def _arrays(n, h=4, w=3):
+    # image[i] encodes the row id so gathered batches are attributable
+    image = np.zeros((n, h, w, 3), np.uint8)
+    image[:, 0, 0, 0] = np.arange(n) % 256
+    joints = np.arange(n, dtype=np.float32)[:, None, None].repeat(
+        5, 1).repeat(2, 2)
+    vis = np.ones((n, 5), np.float32)
+    return {"image": image, "joints": joints, "joints_vis": vis}
+
+
+def test_gather_rows_match_source():
+    mesh = make_mesh(jax.devices()[:8])
+    n = 64
+    cache = DeviceDataCache(mesh, _arrays(n), batch_size=16, seed=0)
+    assert cache.steps_per_epoch == 64 // 16
+    seen = []
+    for batch in cache.epoch_batches(0):
+        img = np.asarray(batch["image"])
+        joints = np.asarray(batch["joints"])
+        assert img.shape == (16, 4, 3, 3)
+        rows = img[:, 0, 0, 0].astype(np.int64)
+        # every key gathered the SAME rows
+        np.testing.assert_array_equal(joints[:, 0, 0].astype(np.int64), rows)
+        seen.extend(rows.tolist())
+    # one epoch = every instance exactly once (n divisible by batch & mesh)
+    assert sorted(seen) == list(range(n))
+
+
+def test_padding_wraparound_and_coverage():
+    mesh = make_mesh(jax.devices()[:8])
+    n = 10  # pads to 16: 6 wraparound duplicates, n_local = 2
+    cache = DeviceDataCache(mesh, _arrays(n), batch_size=8, seed=3)
+    assert cache.n_total == 16 and cache.n_local == 2
+    seen = []
+    for batch in cache.epoch_batches(0):
+        seen.extend(np.asarray(batch["image"])[:, 0, 0, 0].tolist())
+    assert len(seen) == 16
+    assert set(seen) <= set(range(n))        # only real rows
+    assert len(set(seen)) == n               # every row appears
+
+
+def test_epoch_shuffle_deterministic_and_varied():
+    mesh = make_mesh(jax.devices()[:8])
+    cache = DeviceDataCache(mesh, _arrays(64), batch_size=32, seed=1)
+
+    def epoch_rows(e):
+        return [np.asarray(b["image"])[:, 0, 0, 0].tolist()
+                for b in cache.epoch_batches(e)]
+
+    assert epoch_rows(0) == epoch_rows(0)    # same epoch -> same order
+    assert epoch_rows(0) != epoch_rows(1)    # epochs reshuffle
+    # a fresh cache with the same seed reproduces the same stream
+    cache2 = DeviceDataCache(mesh, _arrays(64), batch_size=32, seed=1)
+    assert epoch_rows(5) == [
+        np.asarray(b["image"])[:, 0, 0, 0].tolist()
+        for b in cache2.epoch_batches(5)]
+
+
+def test_batches_sharded_over_mesh():
+    mesh = make_mesh(jax.devices()[:8])
+    cache = DeviceDataCache(mesh, _arrays(32), batch_size=16, seed=0)
+    batch = next(iter(cache.epoch_batches(0)))
+    shardings = {k: v.sharding for k, v in batch.items()}
+    for k, s in shardings.items():
+        assert s.is_equivalent_to(cache._idx_sharding, batch[k].ndim), k
+    # shard-local gather: each device's shard holds 2 of the 16 rows
+    assert len(batch["image"].addressable_shards) == 8
+    assert batch["image"].addressable_shards[0].data.shape[0] == 2
+
+
+def test_validation_errors():
+    mesh = make_mesh(jax.devices()[:8])
+    with pytest.raises(ValueError):
+        DeviceDataCache(mesh, _arrays(32), batch_size=12, seed=0)  # % 8
+    with pytest.raises(ValueError):  # per-device batch > shard
+        DeviceDataCache(mesh, _arrays(8), batch_size=64, seed=0)

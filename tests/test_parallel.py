@@ -88,11 +88,29 @@ def test_sharded_batch_matches_single_device_forward():
 def test_spatial_sharding_conv_forward():
     """Sharding the HEIGHT dim across the mesh must give identical results:
     GSPMD inserts the conv halo exchanges. This is the large-input scaling
-    axis for SPM 512^2+ inputs (batch=1 inference can use all chips)."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
-    from pytorch_pose_estimation_tpu.models import SBP
+    axis for SPM 512^2+ inputs (batch=1 inference can use all chips).
 
-    model = SBP(num_keypoints=3)
+    Uses a compact conv+pool+deconv stack rather than the full SBP model:
+    the property (halo-exchange exactness through conv, maxpool, and
+    conv-transpose) is identical, but a full darknet19 partitioned 8-ways
+    in H makes this 1-core host's virtual devices miss XLA's collective
+    rendezvous deadline (observed SIGABRT), and compiles for minutes."""
+    from flax import linen as nn
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pytorch_pose_estimation_tpu.models.layers import (ConvBnRelu,
+                                                            DeconvBnRelu)
+
+    class SpatialStack(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            x = ConvBnRelu(8, 3)(x, train)
+            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            x = ConvBnRelu(16, 3)(x, train)
+            x = DeconvBnRelu(8)(x, train)
+            return ConvBnRelu(4, 1)(x, train)
+
+    model = SpatialStack()
     x = np.random.RandomState(0).rand(1, 64, 64, 3).astype(np.float32)
     variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
     ref = model.apply(variables, jnp.asarray(x))
