@@ -251,6 +251,75 @@ def bench_e2e_train(batch: int = 64, steps: int = 4):
     return ips
 
 
+def bench_e2e_train_cached(batch: int = 256, steps: int = 10):
+    """MEASURED end-to-end training throughput through the device-resident
+    cache (cache_device: true): real JPEG files decoded ONCE into HBM,
+    then every step feeds a [B] int32 index gather on device
+    (train/device_cache.py).  This is the number that replaces the
+    host-bound streaming figure when the train set fits in HBM -- it
+    should match bench_tpu_train's fused-step chip capability."""
+    import jax
+
+    import jax.numpy as jnp
+
+    from pytorch_pose_estimation_tpu.data import SBPCOCODataModule
+    from pytorch_pose_estimation_tpu.models import SBP
+    from pytorch_pose_estimation_tpu.optim import get_optimizer, yolo_lr
+    from pytorch_pose_estimation_tpu.parallel.mesh import make_mesh
+    from pytorch_pose_estimation_tpu.train import (build_device_cache,
+                                                   create_train_state)
+    from pytorch_pose_estimation_tpu.train.steps import make_sbp_steps
+
+    root, ann = _ensure_synth_corpus()
+    dm = SBPCOCODataModule(
+        train_path=ann, val_path=None, input_size=(256, 192),
+        output_size=(64, 48), num_keypoints=17, sigma=2.0, workers=8,
+        batch_size=batch, class_labels=[], img_dir=root)
+    dm.setup()
+    batch = min(batch, len(dm.train_db))  # corpus is ~2 persons/image
+
+    mesh = make_mesh(jax.devices()[:1])
+    t0 = time.perf_counter()
+    cache = build_device_cache(dm, mesh, batch, seed=0)
+    log(f"device cache: {cache.n_total} instances, "
+        f"{cache.nbytes() / 2 ** 20:.0f} MB, built in "
+        f"{time.perf_counter() - t0:.1f}s (one-time)")
+
+    model = SBP(num_keypoints=17, dtype=jnp.bfloat16)
+    opt = get_optimizer("sgd", momentum=0.9, weight_decay=5e-3,
+                        nesterov=True,
+                        schedule=yolo_lr(1e-3, 100, [10 ** 6], [0.1]))
+    train_step, _ = make_sbp_steps(model, opt, (256, 192), (64, 48), 17,
+                                   2.0)
+    state = create_train_state(model, opt, (1, 256, 192, 3))
+    key = jax.random.PRNGKey(0)
+
+    def batches():
+        epoch = 0
+        while True:
+            for b in cache.epoch_batches(epoch):
+                yield b
+            epoch += 1
+
+    it = batches()
+    state, loss = train_step(state, next(it), key)  # compile
+    float(loss)
+    n_img, done = 0, 0
+    t0 = time.perf_counter()
+    for b in it:
+        state, loss = train_step(state, b, jax.random.fold_in(key, done))
+        n_img += batch
+        done += 1
+        if done >= steps:
+            break
+    float(loss)  # the loss depends on every prior step through state
+    dt = time.perf_counter() - t0
+    ips = n_img / dt
+    log(f"E2E train via device cache batch={batch}: {ips:.1f} img/s "
+        f"measured over {done} steps")
+    return ips
+
+
 def bench_cli_latency(n: int = 16):
     """Per-image CLI inference latency INCLUDING the host->device transfer
     (the reference's probe times the loop body with H2D,
@@ -348,6 +417,7 @@ def main():
     bench_tpu_latency()
     bench_tpu_train()
     bench_e2e_train()
+    bench_e2e_train_cached()
     bench_cli_latency()
     bench_tpu_spm()
     cpu_ips = bench_torch_cpu_sbp()

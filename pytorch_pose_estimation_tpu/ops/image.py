@@ -497,23 +497,61 @@ def clahe_luma(img: jnp.ndarray, clip_limit, tiles: int = 8) -> jnp.ndarray:
     fx = jnp.clip(xs / tw - 0.5, 0.0, tiles - 1.0)
     y0 = jnp.floor(fy).astype(jnp.int32)
     x0 = jnp.floor(fx).astype(jnp.int32)
-    wy = (fy - y0)[..., None]
-    wx = (fx - x0)[..., None]
+    wy = fy - y0
+    wx = fx - x0
     y1 = jnp.minimum(y0 + 1, tiles - 1)
     x1 = jnp.minimum(x0 + 1, tiles - 1)
 
+    # one scalar LUT lookup per pixel per corner: a flat [H, W] gather.
+    # (Gathering the whole 256-entry LUT row per pixel -- lut[ty, tx] --
+    # materializes an [H, W, 256] buffer, ~13 GB over a 256-batch vmap.)
+    flat_lut = lut.reshape(-1)                # [T*T*256]
+
     def _sample(ty, tx):
-        l = lut[ty, tx]                       # [H, W, 256]
-        return jnp.take_along_axis(l, y8[..., None], axis=-1)
+        return jnp.take(flat_lut, (ty * tiles + tx) * bins + y8)  # [H, W]
 
     v = (_sample(y0, x0) * (1 - wy) * (1 - wx)
          + _sample(y0, x1) * (1 - wy) * wx
          + _sample(y1, x0) * wy * (1 - wx)
-         + _sample(y1, x1) * wy * wx)[..., 0] / 255.0
+         + _sample(y1, x1) * wy * wx) / 255.0
 
     scale = v / jnp.maximum(y, 1e-6)
     out = jnp.clip(img * scale[..., None], 0.0, 1.0)
     return jnp.where(y[..., None] > 1e-6, out, img)
+
+
+def clahe_luma_batch(key, imgs: jnp.ndarray, apply_prob: float,
+                     clip_range: Tuple[float, float] = (1.0, 4.0),
+                     tiles: int = 8, chunk: int = 32) -> jnp.ndarray:
+    """Per-example CLAHE over [B, H, W, 3] with Albumentations semantics:
+    Bernoulli(``apply_prob``) apply mask and a uniform clip-limit draw per
+    sample (reference train transform wraps ``A.CLAHE()`` at p=0.5,
+    dataset/sbp_coco_dataset.py:220-232).
+
+    The batch is processed in ``chunk``-sized vmapped slices under a
+    ``lax.map``: per-sample CLAHE's tile-histogram temporaries are the one
+    augmentation stage whose peak memory scales badly with a full-batch
+    vmap (a 256-batch vmap OOMed a 16 GB chip), and the sequential-over-
+    chunks schedule bounds it at chunk-size cost while each chunk stays
+    fully vectorized on the VPU."""
+    b = imgs.shape[0]
+    keys = jax.random.split(key, b)
+
+    def _one(kk, im):
+        k_do, k_clip = jax.random.split(kk)
+        clip = jax.random.uniform(k_clip, (), minval=clip_range[0],
+                                  maxval=clip_range[1])
+        do = jax.random.uniform(k_do, ()) < apply_prob
+        out = clahe_luma(im, clip, tiles)
+        return jnp.where(do, out, im)
+
+    if b > chunk and b % chunk == 0:
+        imgs_c = imgs.reshape((b // chunk, chunk) + imgs.shape[1:])
+        keys_c = keys.reshape((b // chunk, chunk) + keys.shape[1:])
+        out = jax.lax.map(lambda a: jax.vmap(_one)(a[0], a[1]),
+                          (keys_c, imgs_c))
+        return out.reshape(imgs.shape)
+    return jax.vmap(_one)(keys, imgs)
 
 
 # --------------------------------------------------------------------------
@@ -603,16 +641,7 @@ def augment_batch(key, images_u8, joints, vis, out_hw: Tuple[int, int],
     # optional device CLAHE (per-example, opt-in; reference position:
     # after Rotate, before ColorJitter)
     if clahe_prob > 0:
-        keys_cl = jax.random.split(k_cl, b)
-
-        def _clahe_one(kk, im):
-            k_do, k_clip = jax.random.split(kk)
-            clip = jax.random.uniform(k_clip, (), minval=1.0, maxval=4.0)
-            do = jax.random.uniform(k_do, ()) < clahe_prob
-            return jax.lax.cond(do, lambda x: clahe_luma(x, clip),
-                                lambda x: x, im)
-
-        imgs = jax.vmap(_clahe_one)(keys_cl, imgs)
+        imgs = clahe_luma_batch(k_cl, imgs, clahe_prob)
 
     # color jitter BEFORE the crop, as in the reference transform list
     # (contrast then blends against the pre-crop image mean)

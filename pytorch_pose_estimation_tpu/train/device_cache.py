@@ -28,6 +28,8 @@ keep the streaming host loader with interleaved per-process shards).
 from __future__ import annotations
 
 import functools
+import json
+import os
 from typing import Dict, Iterator, Sequence
 
 import jax
@@ -121,11 +123,34 @@ class DeviceDataCache:
             yield dict(zip(self._names, out))
 
 
+def _disk_cache_dir(data_module, keys: Sequence[str]) -> str | None:
+    """Location + identity of the on-disk decoded-instance cache.  Returns
+    None when the data module has no train annotation path to anchor it."""
+    ann = getattr(data_module, "train_path", None)
+    if not ann or not os.path.exists(ann):
+        return None
+    return ann + ".devcache"
+
+
+def _disk_cache_meta(data_module, keys: Sequence[str], n: int) -> dict:
+    ann = data_module.train_path
+    size = data_module.input_size
+    return {
+        "version": 1,
+        "ann_mtime": os.path.getmtime(ann),
+        "ann_size": os.path.getsize(ann),
+        "input_size": list(size) if isinstance(size, (list, tuple))
+        else int(size),
+        "n": int(n),
+        "keys": sorted(keys),
+    }
+
+
 def build_device_cache(data_module, mesh: Mesh, batch_size: int,
                        seed: int = 0,
                        keys: Sequence[str] = ("image", "joints",
                                               "joints_vis"),
-                       ) -> DeviceDataCache:
+                       disk_cache: bool = True) -> DeviceDataCache:
     """Decode every train instance once through the data module's loader
     (native C++ JPEG path when built) and upload the stacked arrays.
     ``keys`` selects the per-kind batch fields (SBP/PIS: image/joints/
@@ -135,7 +160,26 @@ def build_device_cache(data_module, mesh: Mesh, batch_size: int,
     the crop is deterministic, and randomized CLAHE moves on device
     (ops/image.py::clahe_luma) where it can re-draw per epoch -- host
     CLAHE baked into a cache would freeze one draw for the whole run.
+
+    Because the decoded product is deterministic, it is also memoized on
+    disk (``<train_path>.devcache/``, one .npy per key + meta.json keyed
+    on the annotation file's mtime/size and the crop size): re-runs skip
+    the ~1-core JPEG decode pass (minutes at 10k instances) and stream
+    straight from disk to HBM.
     """
+    cache_dir = _disk_cache_dir(data_module, keys) if disk_cache else None
+    n_db = len(data_module.train_db)
+    if cache_dir and os.path.exists(os.path.join(cache_dir, "meta.json")):
+        try:
+            with open(os.path.join(cache_dir, "meta.json")) as f:
+                meta = json.load(f)
+            if meta == _disk_cache_meta(data_module, keys, n_db):
+                arrays = {k: np.load(os.path.join(cache_dir, k + ".npy"))
+                          for k in keys}
+                return DeviceDataCache(mesh, arrays, batch_size, seed=seed)
+        except (OSError, ValueError, KeyError):
+            pass  # unreadable/stale cache: fall through to re-decode
+
     loader = data_module._loader(data_module.train_db, train=False,
                                  batch_size=batch_size)
     parts: Dict[str, list] = {k: [] for k in keys}
@@ -143,4 +187,22 @@ def build_device_cache(data_module, mesh: Mesh, batch_size: int,
         for k in keys:
             parts[k].append(batch[k])
     arrays = {k: np.concatenate(parts[k], axis=0) for k in keys}
+
+    if cache_dir:
+        try:
+            tmp = cache_dir + ".tmp"
+            os.makedirs(tmp, exist_ok=True)
+            for k in keys:
+                np.save(os.path.join(tmp, k + ".npy"), arrays[k])
+            meta = _disk_cache_meta(data_module, keys,
+                                    len(arrays[keys[0]]))
+            with open(os.path.join(tmp, "meta.json"), "w") as f:
+                json.dump(meta, f)
+            if os.path.exists(cache_dir):
+                import shutil
+
+                shutil.rmtree(cache_dir)
+            os.replace(tmp, cache_dir)
+        except OSError as e:
+            print(f"devcache: disk memoization skipped ({e})")
     return DeviceDataCache(mesh, arrays, batch_size, seed=seed)

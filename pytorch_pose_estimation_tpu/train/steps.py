@@ -167,18 +167,9 @@ def make_spm_steps(model, optimizer, input_size: int, output_size: int,
             if clahe_prob > 0:
                 # per-example device CLAHE, reference SPM transform position
                 # (CLAHE -> ColorJitter, dataset/spm_coco_dataset.py:228-241)
-                from ..ops.image import clahe_luma
+                from ..ops.image import clahe_luma_batch
 
-                def _clahe_one(kk, im):
-                    k_do, k_clip = jax.random.split(kk)
-                    clip = jax.random.uniform(k_clip, (), minval=1.0,
-                                              maxval=4.0)
-                    do = jax.random.uniform(k_do, ()) < clahe_prob
-                    return jax.lax.cond(do, lambda x: clahe_luma(x, clip),
-                                        lambda x: x, im)
-
-                images = jax.vmap(_clahe_one)(
-                    jax.random.split(k_cl, images.shape[0]), images)
+                images = clahe_luma_batch(k_cl, images, clahe_prob)
             images = color_jitter_batch(k_col, images.astype(dt), *jitter,
                                         apply_prob=jitter_prob)
             target = _targets(batch["joints"], batch["centers"])

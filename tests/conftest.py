@@ -19,6 +19,14 @@ if "xla_force_host_platform_device_count" not in _flags:
 # each virtual device run on its own dispatch thread instead.
 if "xla_cpu_multi_thread_eigen" not in _flags:
     _flags = (_flags + " --xla_cpu_multi_thread_eigen=false").strip()
+# The rendezvous additionally hard-aborts when participants arrive >40 s
+# apart; 8 device threads timesharing one contended core can exceed that,
+# so raise the window (correctness unaffected).
+if "collective_call_terminate_timeout" not in _flags:
+    _flags = (_flags +
+              " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+              " --xla_cpu_collective_call_terminate_timeout_seconds=900"
+              ).strip()
 os.environ["XLA_FLAGS"] = _flags
 
 import jax  # noqa: E402

@@ -91,3 +91,54 @@ def test_validation_errors():
         DeviceDataCache(mesh, _arrays(32), batch_size=12, seed=0)  # % 8
     with pytest.raises(ValueError):  # per-device batch > shard
         DeviceDataCache(mesh, _arrays(8), batch_size=64, seed=0)
+
+
+def test_disk_memoization_roundtrip(tmp_path):
+    """build_device_cache memoizes the decoded arrays on disk and the
+    second build loads byte-identical data without touching the loader;
+    editing the annotation file invalidates the cache."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from synth_fixture import make_dataset
+
+    from pytorch_pose_estimation_tpu.data import SBPCOCODataModule
+    from pytorch_pose_estimation_tpu.train.device_cache import \
+        build_device_cache
+
+    root = str(tmp_path / "coco")
+    make_dataset(root, "train2017", 8, seed=3)
+    ann = os.path.join(root, "annotations",
+                       "person_keypoints_train2017.json")
+    dm = SBPCOCODataModule(
+        train_path=ann, val_path=None, img_dir=root,
+        input_size=(64, 48), output_size=(16, 12), num_keypoints=17,
+        sigma=2.0, workers=0, batch_size=8, class_labels=[])
+    dm.setup()
+    mesh = make_mesh(jax.devices()[:8])
+
+    c1 = build_device_cache(dm, mesh, batch_size=8, seed=0)
+    cache_dir = ann + ".devcache"
+    assert os.path.exists(os.path.join(cache_dir, "meta.json"))
+    assert os.path.exists(os.path.join(cache_dir, "image.npy"))
+
+    # second build must hit the disk cache: break the loader to prove it
+    dm2 = SBPCOCODataModule(
+        train_path=ann, val_path=None, img_dir=root,
+        input_size=(64, 48), output_size=(16, 12), num_keypoints=17,
+        sigma=2.0, workers=0, batch_size=8, class_labels=[])
+    dm2.setup()
+    dm2._loader = None  # would raise if the decode path were taken
+    c2 = build_device_cache(dm2, mesh, batch_size=8, seed=0)
+    b1 = next(iter(c1.epoch_batches(0)))
+    b2 = next(iter(c2.epoch_batches(0)))
+    for k in b1:
+        np.testing.assert_array_equal(np.asarray(b1[k]), np.asarray(b2[k]))
+
+    # invalidation: touching the annotation file re-decodes
+    with open(ann, "a") as f:
+        f.write(" ")
+    dm2._loader = dm.__class__._loader.__get__(dm2)
+    c3 = build_device_cache(dm2, mesh, batch_size=8, seed=0)
+    assert c3.n_total == c1.n_total
