@@ -251,6 +251,30 @@ def test_clahe_luma_vs_cv2():
     assert np.abs(out).max() == 0.0
 
 
+def test_clahe_luma_batch_chunked_equals_vmap():
+    """The lax.map-chunked batch CLAHE (memory-bounding path taken when
+    b % chunk == 0) must be numerically identical to the plain full-batch
+    vmap it replaces, including which samples the Bernoulli mask skips."""
+    from pytorch_pose_estimation_tpu.ops.image import clahe_luma_batch
+
+    rng = np.random.RandomState(2)
+    imgs = jnp.asarray(rng.rand(8, 32, 32, 3).astype(np.float32))
+    key = jax.random.PRNGKey(5)
+    chunked = np.asarray(clahe_luma_batch(key, imgs, 0.5, chunk=4))
+    plain = np.asarray(clahe_luma_batch(key, imgs, 0.5, chunk=8))
+
+    # identical up to LUT round() flips from fp reduction-order changes
+    # between the vmapped and lax.map schedules (~1/255-scale, rare)
+    diff = np.abs(chunked - plain)
+    assert diff.max() < 2.5 / 255, diff.max()
+    assert (diff > 1e-6).mean() < 1e-3
+    # with p=0.5 over 8 samples, some must differ from the input and
+    # (overwhelmingly likely) some must not
+    changed = [bool(np.abs(chunked[i] - np.asarray(imgs)[i]).max() > 1e-6)
+               for i in range(8)]
+    assert any(changed)
+
+
 def test_augment_batch_with_device_clahe():
     imgs = np.random.RandomState(1).randint(0, 255, (2, 64, 64, 3), np.uint8)
     joints = np.full((2, 1, 2), 32.0, np.float32)
