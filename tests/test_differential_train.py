@@ -40,6 +40,10 @@ from pytorch_pose_estimation_tpu.train import create_train_state
 from golden.numpy_reference import sbp_heatmaps_np
 from test_torch_import import _ref_style_sbp
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 LR = 1e-3
 MOMENTUM = 0.9
 WEIGHT_DECAY = 5e-3

@@ -7,6 +7,8 @@ import jax
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from pytorch_pose_estimation_tpu.config import get_configs
 from pytorch_pose_estimation_tpu.data import (SBPPISDataModule,
                                               SPMCOCODataModule)

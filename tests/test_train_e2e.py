@@ -14,6 +14,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from pytorch_pose_estimation_tpu.config import get_configs
 from pytorch_pose_estimation_tpu.data import SBPCOCODataModule
 from pytorch_pose_estimation_tpu.train import Trainer
