@@ -254,10 +254,13 @@ def bench_e2e_train(batch: int = 64, steps: int = 4):
 def bench_e2e_train_cached(batch: int = 256, steps: int = 10):
     """MEASURED end-to-end training throughput through the device-resident
     cache (cache_device: true): real JPEG files decoded ONCE into HBM,
-    then every step feeds a [B] int32 index gather on device
-    (train/device_cache.py).  This is the number that replaces the
-    host-bound streaming figure when the train set fits in HBM -- it
-    should match bench_tpu_train's fused-step chip capability."""
+    then epochs run through make_epoch_runner -- ONE device dispatch per
+    runner call, a lax.scan over the [S, B] index matrix with the
+    shard-local gather folded into the train step
+    (train/device_cache.py).  Measurement: one warm dispatch (compile),
+    then a timed multi-epoch dispatch synced by a scalar readback of the
+    last loss (which depends on every step through the carried state).
+    This is the exact structure Trainer.fit uses when cache_device is on."""
     import jax
 
     import jax.numpy as jnp
@@ -294,29 +297,29 @@ def bench_e2e_train_cached(batch: int = 256, steps: int = 10):
     state = create_train_state(model, opt, (1, 256, 192, 3))
     key = jax.random.PRNGKey(0)
 
-    def batches():
-        epoch = 0
-        while True:
-            for b in cache.epoch_batches(epoch):
-                yield b
-            epoch += 1
+    runner = cache.make_epoch_runner(train_step)
+    spe = cache.steps_per_epoch
+    n_epochs = max(1, -(-steps // spe))  # epochs covering `steps` steps
 
-    it = batches()
-    state, loss = train_step(state, next(it), key)  # compile
-    float(loss)
-    n_img, done = 0, 0
+    # TWO warm dispatches: the first compiles the scan runner, and on the
+    # tunnel backend the first post-compile execution of a fresh
+    # executable runs ~40x slow (one-time load artifact; measured
+    # 212s compile -> 42.5s -> 1.07s -> 1.07s ... for this program);
+    # every dispatch after that runs at steady state
+    for w in range(2):
+        state, key, losses = runner(
+            state, key, range(w * n_epochs, (w + 1) * n_epochs))
+        float(losses[-1])
     t0 = time.perf_counter()
-    for b in it:
-        state, loss = train_step(state, b, jax.random.fold_in(key, done))
-        n_img += batch
-        done += 1
-        if done >= steps:
-            break
-    float(loss)  # the loss depends on every prior step through state
+    state, key, losses = runner(state, key,
+                                range(2 * n_epochs, 3 * n_epochs))
+    # the last loss depends on every prior step through the carried state
+    float(losses[-1])
     dt = time.perf_counter() - t0
-    ips = n_img / dt
+    done = n_epochs * spe
+    ips = done * batch / dt
     log(f"E2E train via device cache batch={batch}: {ips:.1f} img/s "
-        f"measured over {done} steps")
+        f"measured over {done} steps ({n_epochs} epochs/dispatch)")
     return ips
 
 

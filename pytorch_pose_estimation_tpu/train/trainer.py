@@ -379,48 +379,78 @@ class Trainer:
         else:
             train_loader = self.dm.train_loader()
 
+        epoch_runner = None
         for epoch in range(max_epochs):
             if device_cache is not None:
-                batches = device_cache.epoch_batches(epoch)
-            else:
-                train_loader.set_epoch(epoch)
-                batches = train_loader
-            epoch_losses = []
-            t0 = time.time()
-            n_img = 0
-            for batch in batches:
-                if self.profile_steps and \
-                        self.global_step == self.profile_steps[0] and \
-                        not self._profiling:
+                # one dispatch per epoch: lax.scan over the epoch's index
+                # matrix with the shard-local gather folded into the step
+                # (train/device_cache.py::make_epoch_runner); bit-identical
+                # parameter trajectory to the per-step loop below
+                if epoch_runner is None:
+                    epoch_runner = device_cache.make_epoch_runner(
+                        self.train_step)
+                t0 = time.time()
+                profiling = bool(
+                    self.profile_steps and not self._profiling and
+                    self.global_step <= self.profile_steps[0] <
+                    self.global_step + device_cache.steps_per_epoch)
+                if profiling:  # the whole epoch dispatch is the trace unit
                     jax.profiler.start_trace(
                         self.version_dir or cfg.get("save_dir", "./saved"))
-                    self._profiling = True
-                rng, step_key = jax.random.split(rng)
-                if device_cache is not None:  # already sharded on device
-                    dev_batch = batch
-                else:
-                    dev_batch = self._device_batch(batch, train_keys)
-                self.state, loss = self.train_step(self.state, dev_batch,
-                                                   step_key)
-                self.global_step += 1
-                if self._profiling and \
-                        self.global_step >= self.profile_steps[1]:
+                self.state, rng, losses = epoch_runner(self.state, rng,
+                                                       [epoch])
+                losses = np.asarray(losses)  # syncs the epoch dispatch
+                if profiling:
                     jax.profiler.stop_trace()
-                    self._profiling = False
-                n_img += len(batch["image"])
-                # keep the device scalar (no host sync per step); the
-                # epoch mean below is then the exact mean over ALL steps,
-                # not a every-log_every-th sample
-                epoch_losses.append(loss)
-                if self.global_step % self.log_every == 0:
-                    self._log("train_loss", float(loss), self.global_step)
-                    self._log("lr-step", float(self.schedule(
-                        self.global_step - 1)), self.global_step)
-            dt = time.time() - t0
-            mean_loss = float(jnp.mean(jnp.stack(epoch_losses))) if \
-                epoch_losses else float("nan")
-            print(f"epoch {epoch}: train_loss={mean_loss:.4f} "
-                  f"({n_img / max(dt, 1e-9):.1f} img/s)")
+                n_img = losses.size * device_cache.batch_size
+                for lv in losses:
+                    self.global_step += 1
+                    if self.global_step % self.log_every == 0:
+                        self._log("train_loss", float(lv), self.global_step)
+                        self._log("lr-step", float(self.schedule(
+                            self.global_step - 1)), self.global_step)
+                dt = time.time() - t0
+                mean_loss = (float(losses.mean()) if losses.size
+                             else float("nan"))
+                print(f"epoch {epoch}: train_loss={mean_loss:.4f} "
+                      f"({n_img / max(dt, 1e-9):.1f} img/s)")
+            else:
+                train_loader.set_epoch(epoch)
+                epoch_losses = []
+                t0 = time.time()
+                n_img = 0
+                for batch in train_loader:
+                    if self.profile_steps and \
+                            self.global_step == self.profile_steps[0] and \
+                            not self._profiling:
+                        jax.profiler.start_trace(
+                            self.version_dir or
+                            cfg.get("save_dir", "./saved"))
+                        self._profiling = True
+                    rng, step_key = jax.random.split(rng)
+                    dev_batch = self._device_batch(batch, train_keys)
+                    self.state, loss = self.train_step(
+                        self.state, dev_batch, step_key)
+                    self.global_step += 1
+                    if self._profiling and \
+                            self.global_step >= self.profile_steps[1]:
+                        jax.profiler.stop_trace()
+                        self._profiling = False
+                    n_img += len(batch["image"])
+                    # keep the device scalar (no host sync per step); the
+                    # epoch mean below is then the exact mean over ALL
+                    # steps, not a every-log_every-th sample
+                    epoch_losses.append(loss)
+                    if self.global_step % self.log_every == 0:
+                        self._log("train_loss", float(loss),
+                                  self.global_step)
+                        self._log("lr-step", float(self.schedule(
+                            self.global_step - 1)), self.global_step)
+                dt = time.time() - t0
+                mean_loss = float(jnp.mean(jnp.stack(epoch_losses))) if \
+                    epoch_losses else float("nan")
+                print(f"epoch {epoch}: train_loss={mean_loss:.4f} "
+                      f"({n_img / max(dt, 1e-9):.1f} img/s)")
 
             val_loss = None
             if (epoch + 1) % val_every == 0 and self.dm.val_db:

@@ -93,6 +93,87 @@ def test_validation_errors():
         DeviceDataCache(mesh, _arrays(8), batch_size=64, seed=0)
 
 
+def test_epoch_runner_matches_per_step_path():
+    """make_epoch_runner (one lax.scan dispatch per epoch, gather folded
+    into the scanned step) must produce the SAME parameter trajectory and
+    per-step losses as dispatching Trainer.fit's per-step loop by hand:
+    same epoch index draws, same ``rng, step_key = split(rng)`` sequence.
+    Also: stacking two epochs into one runner call == two runner calls."""
+    from flax import linen as nn
+
+    from pytorch_pose_estimation_tpu.optim import get_optimizer
+    from pytorch_pose_estimation_tpu.train import create_train_state
+    from pytorch_pose_estimation_tpu.train.steps import make_sbp_steps
+
+    class Tiny(nn.Module):
+        num_keypoints: int = 3
+
+        @nn.compact
+        def __call__(self, x, train=False):
+            x = nn.Conv(8, (3, 3), strides=(2, 2), use_bias=False)(x)
+            x = nn.BatchNorm(use_running_average=not train)(x)
+            x = nn.relu(x)
+            x = nn.Conv(8, (3, 3), strides=(2, 2), use_bias=False)(x)
+            x = nn.BatchNorm(use_running_average=not train)(x)
+            x = nn.relu(x)
+            return nn.Conv(self.num_keypoints, (1, 1), use_bias=False)(x)
+
+    size, k, n, batch = 32, 3, 32, 16
+    mesh = make_mesh(jax.devices()[:8])
+    rng_np = np.random.RandomState(0)
+    arrays = {
+        "image": rng_np.randint(0, 255, (n, size, size, 3), np.uint8),
+        "joints": rng_np.uniform(2, size - 2, (n, k, 2)).astype(np.float32),
+        "joints_vis": np.ones((n, k), np.float32),
+    }
+    cache = DeviceDataCache(mesh, arrays, batch_size=batch, seed=7)
+    assert cache.steps_per_epoch == 2
+
+    model = Tiny(num_keypoints=k)
+    optimizer = get_optimizer("sgd", lr=1e-2, momentum=0.9,
+                              weight_decay=5e-3, nesterov=True)
+    train_step, _ = make_sbp_steps(model, optimizer, (size, size),
+                                   (size // 4, size // 4), k, sigma=1.0)
+    state0 = create_train_state(model, optimizer, (1, size, size, 3))
+
+    def fresh():
+        import jax.numpy as jnp
+        return jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True),
+                                      state0)
+
+    # --- reference trajectory: per-step dispatch, Trainer.fit discipline
+    state = fresh()
+    rng = jax.random.PRNGKey(5)
+    ref_losses = []
+    for epoch in range(2):
+        for b in cache.epoch_batches(epoch):
+            rng, step_key = jax.random.split(rng)
+            state, loss = train_step(state, b, step_key)
+            ref_losses.append(float(loss))
+    ref_params = jax.tree_util.tree_leaves(state.params)
+
+    # --- one runner call per epoch
+    runner = cache.make_epoch_runner(train_step)
+    state = fresh()
+    rng = jax.random.PRNGKey(5)
+    got_losses = []
+    for epoch in range(2):
+        state, rng, losses = runner(state, rng, [epoch])
+        got_losses.extend(np.asarray(losses).tolist())
+    np.testing.assert_allclose(got_losses, ref_losses, rtol=1e-6)
+    for r, g in zip(ref_params, jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-5, atol=1e-6)
+
+    # --- both epochs stacked into ONE dispatch
+    state, rng2, losses = runner(fresh(), jax.random.PRNGKey(5), [0, 1])
+    np.testing.assert_allclose(np.asarray(losses).tolist(), ref_losses,
+                               rtol=1e-6)
+    for r, g in zip(ref_params, jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_disk_memoization_roundtrip(tmp_path):
     """build_device_cache memoizes the decoded arrays on disk and the
     second build loads byte-identical data without touching the loader;
