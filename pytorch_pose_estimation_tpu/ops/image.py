@@ -465,6 +465,11 @@ def clahe_luma(img: jnp.ndarray, clip_limit, tiles: int = 8) -> jnp.ndarray:
     ``clip_limit * tile_area / 256`` with even redistribution, per-tile CDF
     LUTs, bilinear interpolation between the 4 neighboring tile LUTs.
 
+    Measured divergence from the Albumentations LAB-L pipeline on rendered
+    person crops at clip in {1, 2.5, 4}: mean |err| 0.004-0.008, max |err|
+    <= 0.115 in [0, 1] pixel units -- bounds pinned by
+    tests/test_clahe_golden.py::test_device_clahe_divergence_bound.
+
     H and W must be divisible by ``tiles``.
     """
     h, w, _ = img.shape
