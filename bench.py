@@ -327,7 +327,14 @@ def bench_cli_latency(n: int = 16):
     """Per-image CLI inference latency INCLUDING the host->device transfer
     (the reference's probe times the loop body with H2D,
     inference_sbp.py:70-74).  Each image is synced with a scalar readback
-    before the next starts."""
+    before the next starts.
+
+    Also measures the tunnel floor (a no-op scalar dispatch + readback):
+    on this backend the floor alone is ~35-55 ms, so the CLI number is
+    floor-dominated — the device-side work is the separately-reported
+    ~1.2 ms batch-1 latency, and the whole pipeline is already ONE fused
+    uint8->joints dispatch (pytorch_pose_estimation_tpu/train/trainer.py
+    ``load_sbp_predictor``), i.e. one tunnel round-trip per image."""
     import numpy as np
 
     import jax
@@ -346,15 +353,25 @@ def bench_cli_latency(n: int = 16):
         out = model.apply(variables, images, train=False)
         return decode_sbp_fast(out, 192, 0.25, True)
 
+    @jax.jit
+    def noop(x):
+        return x + 1.0
+
     rng = np.random.RandomState(0)
     imgs = rng.randint(0, 255, (n, 1, 256, 192, 3), np.uint8)
     float(fwd_decode(variables, jnp.asarray(imgs[0]))[0, 0, 2])  # compile
+    float(noop(jnp.float32(0)))  # compile
+    t0 = time.perf_counter()
+    for i in range(n):
+        float(noop(jnp.float32(i)))
+    floor_ms = (time.perf_counter() - t0) / n * 1000
     t0 = time.perf_counter()
     for i in range(n):
         joints = fwd_decode(variables, jnp.asarray(imgs[i]))
         float(joints[0, 0, 2])  # readback = sync
     ms = (time.perf_counter() - t0) / n * 1000
-    log(f"CLI-path SBP batch=1 latency incl. H2D: {ms:.2f} ms/image")
+    log(f"CLI-path SBP batch=1 latency incl. H2D: {ms:.2f} ms/image "
+        f"(tunnel no-op dispatch floor: {floor_ms:.2f} ms)")
     return ms
 
 

@@ -18,9 +18,9 @@ import numpy as np
 
 from pytorch_pose_estimation_tpu.config import get_configs
 from pytorch_pose_estimation_tpu.data import SBPCOCODataModule
-from pytorch_pose_estimation_tpu.ops import DecodeSBP, decode_sbp_batch
+from pytorch_pose_estimation_tpu.ops import DecodeSBP
 from pytorch_pose_estimation_tpu.ops.targets import SBPHeatmapGenerator
-from pytorch_pose_estimation_tpu.train.trainer import load_for_inference
+from pytorch_pose_estimation_tpu.train.trainer import load_sbp_predictor
 from pytorch_pose_estimation_tpu.vis import get_coco_tagged_img_sbp
 
 
@@ -34,7 +34,11 @@ def inference(cfg, ckpt, save_dir=None, limit=None):
     data_module.prepare_data()
     data_module.setup()
 
-    _, forward = load_for_inference(cfg, ckpt, kind="sbp")
+    # ONE jitted dispatch per image (normalize+forward+decode fused): the
+    # reference pays a forward pass plus a host-side decode loop inside its
+    # timed section (reference: inference_sbp.py:70-74); here the timed
+    # section is a single H2D + device round-trip.
+    predict = load_sbp_predictor(cfg, ckpt)
     heatmap_gen = SBPHeatmapGenerator(cfg["output_size"],
                                       cfg["num_keypoints"], cfg["sigma"])
     true_decoder = DecodeSBP(cfg["input_size"], 0.99, pred=False)
@@ -53,11 +57,9 @@ def inference(cfg, ckpt, save_dir=None, limit=None):
         bbox = batch["bbox"][0]
         org_img = cv2.imread(data_module.val_db[i]["image_path"])
 
-        img = jnp.asarray(batch["image"])
         before = time.time()
-        logits = forward(img)
-        pred_joints = np.asarray(decode_sbp_batch(
-            logits, in_w, cfg["conf_threshold"], True))[0]
+        img = jnp.asarray(batch["image"])
+        pred_joints = np.asarray(predict(img))[0]
         print(f"Inference: {(time.time() - before) * 1000:.2f}ms")
 
         # decode GT from re-stamped target heatmaps

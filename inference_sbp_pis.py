@@ -14,9 +14,8 @@ import numpy as np
 
 from pytorch_pose_estimation_tpu.config import get_configs
 from pytorch_pose_estimation_tpu.data import SBPPISDataModule
-from pytorch_pose_estimation_tpu.ops import decode_sbp_batch
 from pytorch_pose_estimation_tpu.pis import FallingDown, HandleGrip
-from pytorch_pose_estimation_tpu.train.trainer import load_for_inference
+from pytorch_pose_estimation_tpu.train.trainer import load_sbp_predictor
 from pytorch_pose_estimation_tpu.vis import get_pis_tagged_img_sbp
 
 FONT = cv2.FONT_HERSHEY_SIMPLEX
@@ -42,7 +41,8 @@ def inference(cfg, ckpt, pis, save_dir=None, limit=None):
     data_module.prepare_data()
     data_module.setup()
 
-    _, forward = load_for_inference(cfg, ckpt, kind="sbp")
+    # fused uint8->joints predictor: ONE jitted dispatch per batch
+    predict = load_sbp_predictor(cfg, ckpt)
     in_h, in_w = cfg["input_size"]
 
     handle_cls = HandleGrip(HANDLE_ROI)
@@ -61,9 +61,7 @@ def inference(cfg, ckpt, pis, save_dir=None, limit=None):
         org_img = cv2.imread(data_module.val_db[i]["image_path"])
 
         before = time.time()
-        logits = forward(jnp.asarray(batch["image"]))
-        joints = np.asarray(decode_sbp_batch(
-            logits, in_w, cfg["conf_threshold"], True))[0]
+        joints = np.asarray(predict(jnp.asarray(batch["image"])))[0]
         print(f"Inference: {(time.time() - before) * 1000:.2f}ms")
 
         joints[..., 0] = joints[..., 0] * (bbox[2] / in_w) + bbox[0]

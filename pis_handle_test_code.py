@@ -16,9 +16,8 @@ import numpy as np
 
 from pytorch_pose_estimation_tpu.config import get_configs
 from pytorch_pose_estimation_tpu.data import SBPPISDataModule
-from pytorch_pose_estimation_tpu.ops import decode_sbp_batch
 from pytorch_pose_estimation_tpu.pis import HandleGrip
-from pytorch_pose_estimation_tpu.train.trainer import load_for_inference
+from pytorch_pose_estimation_tpu.train.trainer import load_sbp_predictor
 
 HANDLE_ROI = ((1220, 1300), (1600, 1130))
 RIGHT_WRIST = 10
@@ -34,7 +33,8 @@ def run(cfg, ckpt, label_depth=-5):
     data_module.prepare_data()
     data_module.setup()
 
-    _, forward = load_for_inference(cfg, ckpt, kind="sbp")
+    # fused uint8->joints predictor: ONE jitted dispatch per batch
+    predict = load_sbp_predictor(cfg, ckpt)
     handle_cls = HandleGrip(HANDLE_ROI)
     in_h, in_w = cfg["input_size"]
 
@@ -43,9 +43,7 @@ def run(cfg, ckpt, label_depth=-5):
     tp = tn = fp = fn = 0
     sample_idx = 0
     for batch in data_module.val_loader():
-        logits = forward(jnp.asarray(batch["image"]))
-        joints = np.asarray(decode_sbp_batch(
-            logits, in_w, cfg["conf_threshold"], True))
+        joints = np.asarray(predict(jnp.asarray(batch["image"])))
         for b in range(joints.shape[0]):
             rec = data_module.val_db[sample_idx]
             sample_idx += 1

@@ -97,6 +97,36 @@ def load_for_inference(cfg: dict, ckpt: Optional[str], kind: str = "sbp"):
     return variables, forward
 
 
+def load_sbp_predictor(cfg: dict, ckpt: Optional[str]):
+    """Fused uint8-in / joints-out SBP predictor: normalize + forward +
+    sigmoid-decode in ONE jitted dispatch, so the per-image CLI path pays
+    a single H2D transfer and a single device round-trip (the reference's
+    latency probe times this whole loop body, inference_sbp.py:70-74).
+
+    Returns ``predict(images_u8_nhwc) -> joints [B, K, 3]`` in input-size
+    pixel coordinates with the reference's sentinel scaling.
+    """
+    from ..ops.decode import decode_sbp_fast
+
+    model = build_model(cfg, "sbp")
+    in_shape = (1, cfg["input_size"][0], cfg["input_size"][1], 3)
+    optimizer, _ = build_optimizer_from_cfg(cfg)
+    state = create_train_state(model, optimizer, in_shape)
+    if ckpt:
+        state = restore_checkpoint_flexible(ckpt, state)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    input_w = int(cfg["input_size"][1])
+    conf = float(cfg["conf_threshold"])
+
+    @jax.jit
+    def predict(images):
+        images = images.astype(jnp.float32) / 255.0
+        logits = model.apply(variables, images, train=False)
+        return decode_sbp_fast(logits, input_w, conf, True)
+
+    return predict
+
+
 class Trainer:
     def __init__(self, cfg: dict, data_module, kind: str = "sbp",
                  logging: bool = True):

@@ -106,3 +106,28 @@ def test_load_for_inference_matches_eval_normalization(tmp_path):
         normalize_batch(jnp.asarray(img)), train=False)
     got = fwd(jnp.asarray(img))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_load_sbp_predictor_fuses_forward_and_decode(tmp_path):
+    """load_sbp_predictor (one jitted uint8->joints dispatch) must equal
+    load_for_inference + decode_sbp_batch run as two dispatches
+    (reference probe: inference_sbp.py:70-74)."""
+    import jax.numpy as jnp
+    from pytorch_pose_estimation_tpu.ops import decode_sbp_batch
+    from pytorch_pose_estimation_tpu.train.checkpoint import save_checkpoint
+    from pytorch_pose_estimation_tpu.train.trainer import (
+        load_for_inference, load_sbp_predictor)
+
+    tr = _mk_trainer(tmp_path, devices=1)
+    ckpt = str(tmp_path / "ck")
+    save_checkpoint(ckpt, tr.state)
+
+    _, fwd = load_for_inference(tr.cfg, ckpt, kind="sbp")
+    predict = load_sbp_predictor(tr.cfg, ckpt)
+
+    img = np.random.RandomState(1).randint(0, 255, (2, 64, 64, 3), np.uint8)
+    logits = fwd(jnp.asarray(img))
+    want = decode_sbp_batch(logits, tr.cfg["input_size"][1],
+                            tr.cfg["conf_threshold"], True)
+    got = predict(jnp.asarray(img))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
