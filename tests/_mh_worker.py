@@ -27,7 +27,9 @@ from pytorch_pose_estimation_tpu.parallel.mesh import (  # noqa: E402
     batch_sharding, make_mesh, replicated_sharding)
 from pytorch_pose_estimation_tpu.train import create_train_state  # noqa: E402
 
-sys.path.insert(0, "tests")
+import os  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import _mh_common as mh  # noqa: E402
 
 assert jax.process_count() == 2 and len(jax.devices()) == 4

@@ -83,20 +83,37 @@ def test_two_process_train_matches_single(tmp_path):
     # `python tests/_mh_worker.py` puts tests/ (not the repo root) on
     # sys.path; the package resolves via cwd only for -m / interactive
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-    port = "19741"
+    # ephemeral coordinator port: a hardcoded one collides with stale
+    # workers or concurrent runs on the same host
+    import socket
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = str(s.getsockname()[1])
     outs = [str(tmp_path / f"w{p}.npz") for p in range(2)]
     procs = [subprocess.Popen(
         [sys.executable, os.path.join(REPO, "tests", "_mh_worker.py"),
          str(p), port, outs[p]],
         cwd=REPO, env=env, stdout=subprocess.PIPE,
         stderr=subprocess.STDOUT) for p in range(2)]
-    logs = [pr.communicate(timeout=600)[0].decode() for pr in procs]
+    try:
+        logs = [pr.communicate(timeout=600)[0].decode() for pr in procs]
+    except Exception:
+        # a hung worker would otherwise leak both subprocesses (and keep
+        # the rendezvous port busy for subsequent runs)
+        for pr in procs:
+            pr.kill()
+        raise
     for pr, lg in zip(procs, logs):
         assert pr.returncode == 0, lg[-2000:]
 
-    # single-process reference on one device, same module builds everything
-    sys.path.insert(0, os.path.join(REPO, "tests"))
-    import _mh_common as mh
+    # single-process reference on one device, same module builds
+    # everything; import via explicit file path so no sys.path entry
+    # leaks into later tests in the session
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "_mh_common", os.path.join(REPO, "tests", "_mh_common.py"))
+    mh = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mh)
     import jax
 
     model, optimizer, train_step = mh.build_model_and_step()

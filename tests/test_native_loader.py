@@ -1,5 +1,7 @@
 """Native C++ loader core vs the cv2 reference path."""
 
+import shutil
+
 import cv2
 import numpy as np
 import pytest
@@ -7,8 +9,21 @@ import pytest
 from pytorch_pose_estimation_tpu.data import native_loader
 
 
-pytestmark = pytest.mark.skipif(not native_loader.available(),
-                                reason="native loader not built")
+# conftest.py builds native/libppe_loader.so at session start whenever a
+# compiler exists, so on any host with g++ these tests RUN (and fail
+# loudly if the build or bindings break); the skip survives only for
+# genuinely compiler-less environments.
+pytestmark = pytest.mark.skipif(
+    not native_loader.available() and shutil.which("g++") is None,
+    reason="native loader not built and no C++ compiler available")
+
+
+def test_native_loader_built_when_compiler_present():
+    if shutil.which("g++") is None:
+        pytest.skip("no C++ compiler")
+    assert native_loader.available(), (
+        "g++ is present but native/libppe_loader.so failed to build/load; "
+        "run `make -C native` and check the output")
 
 
 def _make_jpeg(rng, h, w, quality=95):
