@@ -17,6 +17,7 @@ shapes static.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import time
@@ -86,15 +87,20 @@ def load_for_inference(cfg: dict, ckpt: Optional[str], kind: str = "sbp"):
     state = create_train_state(model, optimizer, in_shape)
     if ckpt:
         state = restore_checkpoint_flexible(ckpt, state)
-    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    # device_put ONCE and pass variables as a jit ARGUMENT: closing over
+    # them would embed every param as an MLIR constant, and on the tunnel
+    # backend lowering then reads all ~146 MB back host-side at ~20 MB/s
+    # (observed as an hours-long "hang" in the inference CLIs)
+    variables = jax.device_put(
+        {"params": state.params, "batch_stats": state.batch_stats})
 
     @jax.jit
-    def forward(images):
+    def forward(variables, images):
         # uint8 pixel batches -> the training pipeline's Normalize(0, 1)
         images = images.astype(jnp.float32) / 255.0
         return model.apply(variables, images, train=False)
 
-    return variables, forward
+    return variables, functools.partial(forward, variables)
 
 
 def load_sbp_predictor(cfg: dict, ckpt: Optional[str]):
@@ -114,17 +120,20 @@ def load_sbp_predictor(cfg: dict, ckpt: Optional[str]):
     state = create_train_state(model, optimizer, in_shape)
     if ckpt:
         state = restore_checkpoint_flexible(ckpt, state)
-    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    # see load_for_inference: variables must be a jit argument, not a
+    # closure constant, or tunnel-backend lowering stalls on param readback
+    variables = jax.device_put(
+        {"params": state.params, "batch_stats": state.batch_stats})
     input_w = int(cfg["input_size"][1])
     conf = float(cfg["conf_threshold"])
 
     @jax.jit
-    def predict(images):
+    def predict(variables, images):
         images = images.astype(jnp.float32) / 255.0
         logits = model.apply(variables, images, train=False)
         return decode_sbp_fast(logits, input_w, conf, True)
 
-    return predict
+    return functools.partial(predict, variables)
 
 
 class Trainer:
@@ -361,9 +370,23 @@ class Trainer:
         if resume == "auto":
             resume = self._find_auto_resume()
             print(f"auto-resume: {resume or 'no checkpoint found'}")
+        start_epoch = 0
         if resume:
             self.state = restore_checkpoint(resume, self.state)
             self.state = jax.device_put(self.state, self.replicated)
+            # continue the run, don't restart it: the epoch counter comes
+            # from the checkpoint's meta sidecar (written by save_last /
+            # save_epoch), the step counter from the restored state itself
+            # (state.step == number of optimizer updates == global step).
+            # Without this the loop re-ran epochs 0..N-1 on top of the
+            # restored params, overwriting earlier epoch=E checkpoints and
+            # restarting the TB step axis.
+            meta = self._read_ckpt_meta(resume)
+            if "epoch" in meta:
+                start_epoch = int(meta["epoch"]) + 1
+            self.global_step = int(self.state.step)
+            print(f"resuming at epoch {start_epoch} "
+                  f"(global step {self.global_step})")
         trainer_options = cfg.get("trainer_options", {}) or {}
         val_every = int(trainer_options.get("check_val_every_n_epoch", 1))
         patience = int(cfg.get("early_stop_patience", 30))
@@ -387,6 +410,10 @@ class Trainer:
         train_keys = (("image", "joints", "centers") if self.kind == "spm"
                       else ("image", "joints", "joints_vis"))
         rng = jax.random.PRNGKey(cfg.get("seed", 0))
+        if start_epoch:
+            # resumed runs draw a fresh augmentation stream instead of
+            # replaying the epochs-0..N-1 randomness
+            rng = jax.random.fold_in(rng, start_epoch)
 
         best_val = float("inf")
         bad_rounds = 0
@@ -410,7 +437,7 @@ class Trainer:
             train_loader = self.dm.train_loader()
 
         epoch_runner = None
-        for epoch in range(max_epochs):
+        for epoch in range(start_epoch, max_epochs):
             if device_cache is not None:
                 # one dispatch per epoch: lax.scan over the epoch's index
                 # matrix with the shard-local gather folded into the step

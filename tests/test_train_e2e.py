@@ -94,3 +94,57 @@ def test_sbp_train_val_checkpoint(synth_root, tmp_path):
             trainer.state, loss = trainer.train_step(trainer.state, dev, k)
             losses.append(float(loss))
     assert losses[-1] < losses[0]
+
+
+def test_resume_continues_epoch_and_step(synth_root, tmp_path):
+    """Regression: fit(resume=...) used to restore the params but restart
+    the epoch loop and global step at 0, re-running epochs 0..N-1 on top
+    of the restored state and relabeling checkpoints epoch=0.. (found live
+    on the ref-scale run).  Resume must continue the epoch counter from
+    the checkpoint meta and the step counter from state.step."""
+    cfg = get_configs("configs/sbp_coco.yaml")
+    cfg.update({
+        "train_path": os.path.join(
+            synth_root, "annotations", "person_keypoints_train2017.json"),
+        "val_path": os.path.join(
+            synth_root, "annotations", "person_keypoints_val2017.json"),
+        "img_dir": synth_root,
+        "input_size": [128, 96],
+        "output_size": [32, 24],
+        "batch_size": 8,
+        "workers": 2,
+        "epochs": 1,
+        "save_dir": str(tmp_path / "saved"),
+        "save_freq": 1,
+        "precision": "fp32",
+        "devices": 2,
+        "trainer_options": {"check_val_every_n_epoch": 1},
+        "scheduler_options": {"burn_in": 4, "steps": [100], "scales": [0.1]},
+    })
+    dm = SBPCOCODataModule(
+        train_path=cfg["train_path"], val_path=cfg["val_path"],
+        img_dir=cfg["img_dir"], input_size=cfg["input_size"],
+        output_size=cfg["output_size"], num_keypoints=cfg["num_keypoints"],
+        sigma=cfg["sigma"], workers=cfg["workers"],
+        batch_size=cfg["batch_size"], class_labels=cfg["class_labels"])
+    dm.setup()
+    steps_per_epoch = len(dm.train_db) // cfg["batch_size"]
+
+    state1 = Trainer(cfg, dm, kind="sbp").fit()
+    assert int(state1.step) == steps_per_epoch  # 1 epoch done
+
+    cfg2 = dict(cfg, epochs=3)
+    tr2 = Trainer(cfg2, dm, kind="sbp")
+    state2 = tr2.fit(resume="auto")
+    # epochs 1 and 2 ran on top of the restored step counter...
+    assert int(state2.step) == 3 * steps_per_epoch
+    # ...and the new version dir holds epoch=1/epoch=2 checkpoints, not a
+    # relabeled epoch=0
+    names = os.listdir(os.path.join(tr2.version_dir, "checkpoints"))
+    epochs = {n.split("-")[0] for n in names if n.startswith("epoch=")}
+    assert epochs == {"epoch=1", "epoch=2"}, names
+    meta_path = os.path.join(tr2.version_dir, "checkpoints",
+                             "last.meta.json")
+    import json
+    with open(meta_path) as f:
+        assert json.load(f)["epoch"] == 2
