@@ -88,5 +88,10 @@ if __name__ == "__main__":
     parser.add_argument("--cfg", required=True, type=str, help="config file")
     parser.add_argument("--ckpt", required=True, type=str)
     parser.add_argument("--label-depth", type=int, default=-5)
+    parser.add_argument("--val-path", type=str, default=None,
+                        help="override cfg val_path (labeled fixture)")
     args = parser.parse_args()
-    run(get_configs(args.cfg), args.ckpt, args.label_depth)
+    cfg = get_configs(args.cfg)
+    if args.val_path:
+        cfg["val_path"] = args.val_path
+    run(cfg, args.ckpt, args.label_depth)

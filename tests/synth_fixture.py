@@ -209,6 +209,203 @@ def make_pis_dataset(outdir: str, split: str, n_images: int,
     return json_path
 
 
+# per-keypoint distinct colors (BGR) so a trained net can identify joints
+# at any body orientation (needed for the fallen-pose PIS classes; the
+# plain white dots of _render_person are only separable by upright layout)
+_KP_COLORS = [
+    (0, 0, 255), (0, 128, 255), (0, 255, 255), (0, 255, 128), (0, 255, 0),
+    (128, 255, 0), (255, 255, 0), (255, 128, 0), (255, 0, 0), (255, 0, 128),
+    (255, 0, 255),
+]
+_PIS_LIMBS = [(0, 1), (0, 2), (1, 3), (2, 4), (5, 6), (5, 7), (7, 9),
+              (6, 8), (8, 10)]
+
+
+def _render_pose11(img, joints, body_px, rng):
+    """Upper-body person at arbitrary orientation: torso quad between the
+    shoulders and a point down the body axis, limb lines, and a distinct
+    color dot per keypoint."""
+    color = tuple(int(c) for c in rng.randint(60, 200, 3))
+    ls, rs = joints[5], joints[6]
+    center = (ls + rs) / 2
+    down = center - joints[0]  # nose -> shoulder-center = body axis
+    n = np.hypot(*down) + 1e-6
+    down = down / n * body_px * 0.45
+    quad = np.array([ls, rs, rs + down, ls + down], np.int32)
+    cv2.fillPoly(img, [quad], color)
+    cv2.circle(img, tuple(np.int32(joints[0])), max(3, int(0.10 * body_px)),
+               color, -1)
+    for a, b in _PIS_LIMBS:
+        cv2.line(img, tuple(np.int32(joints[a])), tuple(np.int32(joints[b])),
+                 color, max(2, int(0.04 * body_px)))
+    for k, (jx, jy) in enumerate(joints):
+        cv2.circle(img, (int(jx), int(jy)), max(2, int(0.025 * body_px)),
+                   _KP_COLORS[k], -1)
+
+
+def _pose11(rng, size_px, theta_deg, center_xy):
+    """11-kp upper-body pose: _UNIT_POSE[:11] centered, rotated by theta
+    (positive = nose tilts toward +x), scaled to size_px, + jitter."""
+    u = _UNIT_POSE[:11] + rng.uniform(-0.015, 0.015, (11, 2))
+    u = (u - [0.5, 0.35]) * size_px  # pivot near the shoulder line
+    th = np.deg2rad(theta_deg)
+    rot = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+    return u @ rot.T + center_xy
+
+
+_HANDLE_ROI = ((1220, 1300), (1600, 1130))  # pis_handle_test_code.py
+
+
+def _grip_intersection_x(y):
+    (ax, ay), (bx, by) = _HANDLE_ROI
+    g = (ay - by) / (ax - bx)
+    return (y - (ay - g * ax)) / g
+
+
+def _pis_record(images, annotations, img, joints, path, W, H):
+    img_id = len(images) + 1
+    cv2.imwrite(path, img)
+    images.append({"id": img_id, "file_name": os.path.abspath(path),
+                   "width": W, "height": H})
+    kps = []
+    for (jx, jy) in joints:
+        kps.extend([float(jx), float(jy), 2])
+    kps.extend([0, 0, 0] * 6)  # 17-slot layout, lower body zeroed
+    x0, y0 = joints.min(0) - 12
+    x1, y1 = joints.max(0) + 12
+    x0, y0 = max(x0, 0.0), max(y0, 0.0)
+    annotations.append({
+        "id": img_id, "image_id": img_id, "category_id": 1, "iscrowd": 0,
+        "area": float((x1 - x0) * (y1 - y0)),
+        "bbox": [float(x0), float(y0),
+                 float(min(x1, W - 1) - x0), float(min(y1, H - 1) - y0)],
+        "keypoints": kps, "num_keypoints": 11,
+    })
+
+
+def _pis_db(images, annotations):
+    return {"images": images, "annotations": annotations,
+            "categories": [{"id": 1, "name": "person",
+                            "supercategory": "person",
+                            "keypoints": COCO_KP_NAMES,
+                            "skeleton": COCO_SKELETON}]}
+
+
+def make_pis_behavior_dataset(outdir: str, n_train: int = 1600,
+                              n_val_per_class: int = 100, seed: int = 0):
+    """Labeled PIS behavior-task fixture (VERDICT r3 item 5): the
+    reference's harness CLIs read the class from a directory component of
+    the image path and print a confusion matrix + accuracy
+    (pis_handle_test_code.py:69-128, pis_falling_down_test_code.py:63-153).
+
+    Writes three absolute-path 11-kp sets:
+    * train: 1280x720, poses over the FULL orientation range with the
+      right wrist displaced to random reachable targets, so both val
+      tasks are in-distribution for a model trained on it;
+    * handle_val/{grip,no_grip}: 2560x1440 (the reference HANDLE_ROI line
+      (1220,1300)-(1600,1130) lives in real-camera coordinates), upright
+      poses, right wrist placed strictly on the grip / no-grip side;
+    * fall_val/{normal,fallen}: 1280x720; 'normal' tilts the nose->
+      shoulder axis inside the harness's asymmetric upright band
+      (gradient < -1 or > 8, i.e. nose-right tilts up to ~40deg but
+      nose-left only ~5deg), 'fallen' lies within ~10deg of horizontal.
+
+    Returns (train_json, handle_json, fall_json).
+    """
+    rng = np.random.RandomState(seed)
+    ann_dir = os.path.join(outdir, "annotations")
+    os.makedirs(ann_dir, exist_ok=True)
+
+    def canvas(W, H):
+        img = np.full((H, W, 3), 40, np.uint8)
+        # mild background texture so crops aren't trivially flat
+        for _ in range(6):
+            cx, cy = rng.randint(0, W), rng.randint(0, H)
+            col = tuple(int(c) for c in rng.randint(20, 55, 3))
+            cv2.circle(img, (cx, cy), rng.randint(20, 80), col, -1)
+        return img
+
+    # --- train: full orientation + wrist-displacement coverage ----------
+    W, H = 1280, 720
+    images, annotations = [], []
+    tdir = os.path.join(outdir, "train")
+    os.makedirs(tdir, exist_ok=True)
+    for i in range(n_train):
+        img = canvas(W, H)
+        size = rng.randint(200, 420)
+        cx = rng.uniform(0.25 * W, 0.75 * W)
+        cy = rng.uniform(0.3 * H, 0.7 * H)
+        joints = _pose11(rng, size, rng.uniform(-180, 180), (cx, cy))
+        # right wrist reaches toward a random target half the time
+        if rng.rand() < 0.5:
+            ang = rng.uniform(0, 2 * np.pi)
+            reach = rng.uniform(0.3, 0.75) * size
+            joints[10] = joints[8] + reach * np.array(
+                [np.cos(ang), np.sin(ang)])
+        joints = np.clip(joints, 4, [W - 5, H - 5])
+        _render_pose11(img, joints, size, rng)
+        _pis_record(images, annotations, img, joints,
+                    os.path.join(tdir, f"pis_{i:06d}.jpg"), W, H)
+    train_json = os.path.join(ann_dir, "pis_behavior_train.json")
+    with open(train_json, "w") as f:
+        json.dump(_pis_db(images, annotations), f)
+
+    # --- handle_val: grip decided by wrist vs the ROI line --------------
+    W, H = 2560, 1440
+    images, annotations = [], []
+    for label in ("grip", "no_grip"):
+        ldir = os.path.join(outdir, "handle_val", label)
+        os.makedirs(ldir, exist_ok=True)
+        for i in range(n_val_per_class):
+            img = canvas(W, H)
+            size = rng.randint(260, 420)
+            wy = rng.uniform(1150, 1390)
+            xi = _grip_intersection_x(wy)
+            if label == "grip":
+                wx = min(xi + rng.uniform(60, 300), W - 40)
+            else:
+                wx = max(xi - rng.uniform(60, 600), 40)
+            # body up-left of the wrist so the reach is plausible
+            cx = wx - rng.uniform(0.3, 0.5) * size
+            cy = wy - rng.uniform(0.5, 0.8) * size
+            joints = _pose11(rng, size, rng.uniform(-3, 12), (cx, cy))
+            joints[10] = (wx, wy)
+            joints = np.clip(joints, 4, [W - 5, H - 5])
+            _render_pose11(img, joints, size, rng)
+            _pis_record(images, annotations, img, joints,
+                        os.path.join(ldir, f"pis_{i:06d}.jpg"), W, H)
+    handle_json = os.path.join(ann_dir, "pis_behavior_handle_val.json")
+    with open(handle_json, "w") as f:
+        json.dump(_pis_db(images, annotations), f)
+
+    # --- fall_val: orientation decided by the class ---------------------
+    W, H = 1280, 720
+    images, annotations = [], []
+    for label in ("normal", "fallen"):
+        ldir = os.path.join(outdir, "fall_val", label)
+        os.makedirs(ldir, exist_ok=True)
+        for i in range(n_val_per_class):
+            img = canvas(W, H)
+            size = rng.randint(200, 380)
+            cx = rng.uniform(0.3 * W, 0.7 * W)
+            cy = rng.uniform(0.35 * H, 0.65 * H)
+            if label == "normal":
+                # inside the asymmetric upright band with margin
+                theta = rng.uniform(3, 35) if rng.rand() < 0.8 \
+                    else rng.uniform(-4, -1)
+            else:
+                theta = rng.choice([-1, 1]) * rng.uniform(82, 98)
+            joints = _pose11(rng, size, theta, (cx, cy))
+            joints = np.clip(joints, 4, [W - 5, H - 5])
+            _render_pose11(img, joints, size, rng)
+            _pis_record(images, annotations, img, joints,
+                        os.path.join(ldir, f"pis_{i:06d}.jpg"), W, H)
+    fall_json = os.path.join(ann_dir, "pis_behavior_fall_val.json")
+    with open(fall_json, "w") as f:
+        json.dump(_pis_db(images, annotations), f)
+    return train_json, handle_json, fall_json
+
+
 if __name__ == "__main__":
     args = [a for a in sys.argv[1:] if a != "--hard"]
     hard = "--hard" in sys.argv
