@@ -591,7 +591,7 @@ def augment_batch(key, images_u8, joints, vis, out_hw: Tuple[int, int],
                   out_dtype=jnp.float32,
                   rotate_prob: float = 0.5,
                   jitter_prob: float = 0.5,
-                  angle_groups: int = 8):
+                  angle_groups: int = 16):
     """Train-time batch augmentation in the reference's op order:
     Rotate(p=0.5) -> [device CLAHE(p), opt-in] -> ColorJitter(p=0.5) ->
     RandomResizedCrop(p=1) (reference train transform,
@@ -609,8 +609,13 @@ def augment_batch(key, images_u8, joints, vis, out_hw: Tuple[int, int],
     * rotation: G = ``n_angle_groups(B, angle_groups)`` distinct angles
       per batch, contiguous groups of B/G samples sharing one grouped
       3-shear einsum (`rotate_shear3_grouped`; a fully per-sample warp
-      matrix forces a generic dynamic gather measured ~56x slower on
-      v5e).  On top of the G angle draws, each SAMPLE independently
+      matrix would force a generic dynamic gather measured ~56x slower
+      on v5e, but per-sample ANGLES stay shear-shaped: G=B just runs the
+      grouped einsums at group size 1).  Measured fused-train-step cost
+      at batch 256 (``python bench.py angles``): G=8 110.2 ms, G=16
+      109.4 ms (default: the free knee), G=32 +7%, G=256 (per-sample,
+      the reference's A.Rotate semantics) +51%.  On top of the G angle
+      draws, each SAMPLE independently
       applies or skips the rotation (Bernoulli p=0.5, one select against
       the unrotated buffer); keypoints ride the exact per-sample
       effective rotation matrix (angle or 0);

@@ -61,7 +61,10 @@ def make_sbp_steps(model, optimizer, input_size, output_size: Tuple[int, int],
     # Rotate and ColorJitter (reference: dataset/sbp_coco_dataset.py:220-227)
     rotate_prob = float(augment.get("rotate_prob", 0.5))
     jitter_prob = float(augment.get("jitter_prob", 0.5))
-    angle_groups = int(augment.get("angle_groups", 8))
+    # G=16 is the measured knee of the grouped-rotation cost curve at
+    # batch 256 (109.4 ms/step == G=8's 110.2; per-sample G=B is +51%,
+    # DESIGN.md angle-group table / `python bench.py angles`)
+    angle_groups = int(augment.get("angle_groups", 16))
     out_hw = (int(input_size[0]), int(input_size[1]))
 
     model_dtype = getattr(model, "dtype", jnp.float32) or jnp.float32
