@@ -533,13 +533,19 @@ def clahe_luma_batch(key, imgs: jnp.ndarray, apply_prob: float,
     sample (reference train transform wraps ``A.CLAHE()`` at p=0.5,
     dataset/sbp_coco_dataset.py:220-232).
 
-    The batch is processed in ``chunk``-sized vmapped slices under a
-    ``lax.map``: per-sample CLAHE's tile-histogram temporaries are the one
-    augmentation stage whose peak memory scales badly with a full-batch
-    vmap (a 256-batch vmap OOMed a 16 GB chip), and the sequential-over-
-    chunks schedule bounds it at chunk-size cost while each chunk stays
-    fully vectorized on the VPU."""
-    b = imgs.shape[0]
+    The batch is processed in vmapped slices under a ``lax.map``:
+    per-sample CLAHE's tile-histogram temporaries (a one-hot
+    [pixels, 256] comparison per sample) are the one augmentation stage
+    whose peak memory scales badly with a full-batch vmap (a 256-batch
+    vmap at 256x192 OOMed a 16 GB chip; a 32-batch vmap at 512x512 under
+    the SPM epoch scan crashed the TPU worker outright).  The slice size
+    is therefore PIXEL-budgeted, not batch-count-budgeted: ``chunk``
+    samples at 256x192 is the known-good working set, and the slice
+    shrinks proportionally as per-image resolution grows (512x512 ->
+    slices of 4), so peak temporary memory stays constant across input
+    sizes.  The sequential-over-slices schedule keeps each slice fully
+    vectorized on the VPU."""
+    b, h, w = imgs.shape[0], imgs.shape[1], imgs.shape[2]
     keys = jax.random.split(key, b)
 
     def _one(kk, im):
@@ -550,9 +556,13 @@ def clahe_luma_batch(key, imgs: jnp.ndarray, apply_prob: float,
         out = clahe_luma(im, clip, tiles)
         return jnp.where(do, out, im)
 
-    if b > chunk and b % chunk == 0:
-        imgs_c = imgs.reshape((b // chunk, chunk) + imgs.shape[1:])
-        keys_c = keys.reshape((b // chunk, chunk) + keys.shape[1:])
+    pixel_budget = int(chunk) * 256 * 192
+    eff = max(1, min(int(chunk), pixel_budget // (h * w)))
+    while b % eff:  # lax.map needs equal slices; largest divisor <= eff
+        eff -= 1
+    if b > eff:
+        imgs_c = imgs.reshape((b // eff, eff) + imgs.shape[1:])
+        keys_c = keys.reshape((b // eff, eff) + keys.shape[1:])
         out = jax.lax.map(lambda a: jax.vmap(_one)(a[0], a[1]),
                           (keys_c, imgs_c))
         return out.reshape(imgs.shape)
