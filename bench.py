@@ -276,6 +276,12 @@ def bench_e2e_train(batch: int = 64, steps: int = 20):
     def noop(x):
         return x + 1.0
 
+    @jax.jit
+    def h2d_probe(img_u8):
+        # consumes the whole batch-sized uint8 array so the transfer
+        # cannot be elided, returns a 4-byte scalar: floor + batch H2D
+        return jnp.sum(img_u8.astype(jnp.uint32)).astype(jnp.float32)
+
     float(noop(jnp.float32(0)))  # compile
 
     loader = dm.train_loader()
@@ -289,27 +295,42 @@ def bench_e2e_train(batch: int = 64, steps: int = 20):
 
     it = batches()
     # warm-up batch: compile + first transfer
-    state, loss = train_step(state, put(next(it)), key)
+    warm = next(it)
+    state, loss = train_step(state, put(warm), key)
     float(loss)
-    step_s, floor_s = [], []
+    float(h2d_probe(jnp.asarray(warm["image"])))  # compile
+    step_s, floor_s, h2d_s, load_s = [], [], [], []
     for done in range(steps):
+        t0 = time.perf_counter()
         batch_np = next(it)
+        load_s.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
         state, loss = train_step(state, put(batch_np),
                                  jax.random.fold_in(key, done))
         float(loss)  # per-step sync
         step_s.append(time.perf_counter() - t0)
-        # tunnel floor sampled in the same window, interleaved with the
-        # real steps, so its variance bounds apply to this measurement
+        # tunnel floor AND a batch-sized-H2D-only dispatch sampled in the
+        # same window, interleaved with the real steps, so the step time
+        # splits into floor + transfer + compute by measurement
         t0 = time.perf_counter()
         float(noop(jnp.float32(done)))
         floor_s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float(h2d_probe(jnp.asarray(batch_np["image"])))
+        h2d_s.append(time.perf_counter() - t0)
     step_s, floor_s = np.array(step_s), np.array(floor_s)
+    h2d_s, load_s = np.array(h2d_s), np.array(load_s)
     ips = batch / step_s.mean()
+    ms = 1000.0
+    mb = batch_np["image"].nbytes / 2 ** 20
     log(f"E2E train (loader->H2D->step) batch={batch}: {ips:.1f} img/s "
-        f"over {steps} steps (step {step_s.mean() * 1000:.1f}"
-        f"±{step_s.std() * 1000:.1f} ms; concurrent tunnel no-op floor "
-        f"{floor_s.mean() * 1000:.1f}±{floor_s.std() * 1000:.1f} ms)")
+        f"over {steps} steps (step {step_s.mean() * ms:.1f}"
+        f"±{step_s.std() * ms:.1f} ms = floor {floor_s.mean() * ms:.1f}"
+        f"±{floor_s.std() * ms:.1f} + {mb:.1f} MB-batch H2D "
+        f"{(h2d_s.mean() - floor_s.mean()) * ms:.1f} + compute "
+        f"{(step_s.mean() - h2d_s.mean()) * ms:.1f} ms; host loader "
+        f"next() {load_s.mean() * ms:.1f}±{load_s.std() * ms:.1f} ms, "
+        f"outside the timed step)")
     return ips, step_s, floor_s
 
 

@@ -558,15 +558,27 @@ def clahe_luma_batch(key, imgs: jnp.ndarray, apply_prob: float,
 
     pixel_budget = int(chunk) * 256 * 192
     eff = max(1, min(int(chunk), pixel_budget // (h * w)))
-    while b % eff:  # lax.map needs equal slices; largest divisor <= eff
-        eff -= 1
-    if b > eff:
-        imgs_c = imgs.reshape((b // eff, eff) + imgs.shape[1:])
-        keys_c = keys.reshape((b // eff, eff) + keys.shape[1:])
-        out = jax.lax.map(lambda a: jax.vmap(_one)(a[0], a[1]),
-                          (keys_c, imgs_c))
-        return out.reshape(imgs.shape)
-    return jax.vmap(_one)(keys, imgs)
+    if b <= eff:
+        return jax.vmap(_one)(keys, imgs)
+    # lax.map needs equal slices: pad the batch up to a multiple of the
+    # budgeted slice size and trim after.  (The previous largest-divisor
+    # fallback could silently collapse to eff=1 -- fully sequential --
+    # whenever b had no divisor <= the budget, e.g. a prime batch at high
+    # resolution.)  Padded rows recompute row 0 under fresh keys; they are
+    # discarded, so only ceil(b/eff)*eff - b samples of throwaway work.
+    b_pad = -(-b // eff) * eff
+    if b_pad > b:
+        imgs = jnp.concatenate(
+            [imgs, jnp.broadcast_to(imgs[:1],
+                                    (b_pad - b,) + imgs.shape[1:])], 0)
+        keys = jnp.concatenate(
+            [keys, jnp.broadcast_to(keys[:1],
+                                    (b_pad - b,) + keys.shape[1:])], 0)
+    imgs_c = imgs.reshape((b_pad // eff, eff) + imgs.shape[1:])
+    keys_c = keys.reshape((b_pad // eff, eff) + keys.shape[1:])
+    out = jax.lax.map(lambda a: jax.vmap(_one)(a[0], a[1]),
+                      (keys_c, imgs_c))
+    return out.reshape((b_pad,) + imgs.shape[1:])[:b]
 
 
 # --------------------------------------------------------------------------

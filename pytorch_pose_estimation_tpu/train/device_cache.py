@@ -145,8 +145,8 @@ class DeviceDataCache:
             out = self._gather(idx, *(self._data[k] for k in self._names))
             yield dict(zip(self._names, out))
 
-    def make_epoch_runner(self, train_step):
-        """Fold N train epochs into ONE device dispatch.
+    def make_epoch_runner(self, train_step, chunk_steps: int = None):
+        """Fold N train epochs into ONE device dispatch (or a few).
 
         Returns ``runner(state, rng, epochs) -> (state, rng, losses)``
         where ``epochs`` is a sequence of epoch numbers whose index
@@ -158,6 +158,19 @@ class DeviceDataCache:
         dispatching the steps one by one, while the host dispatches once
         per call instead of once per step.  ``losses`` is the per-step
         loss array, [len(epochs) * steps_per_epoch].
+
+        ``chunk_steps`` bounds how many scanned steps one device program
+        executes: the stacked index matrix is cut into <=chunk_steps
+        slices dispatched sequentially through the same jitted scan
+        (carried state/rng, so the trajectory is unchanged).  This exists
+        because on this backend the FIRST post-compile execution of a
+        fresh executable runs ~40x slow, and a single program that runs
+        tens of minutes trips the TPU runtime's execution watchdog, which
+        kills the worker outright ("TPU worker process crashed or
+        restarted", observed on SPM-512 whose 156-step epoch would run
+        ~26 min at 40x) -- see DESIGN.md "SPM postmortem".  Chunks of
+        equal length share one executable; at most two scan lengths
+        (chunk and remainder) are ever compiled.
 
         The cache arrays enter as jit arguments (not closure constants) so
         XLA aliases HBM instead of embedding 100s of MB in the executable.
@@ -183,9 +196,15 @@ class DeviceDataCache:
 
         def runner(state, rng, epochs):
             idx = np.concatenate([self.epoch_indices(e) for e in epochs])
-            idx = jax.device_put(idx, steps_sharding)
-            return _run(state, rng, idx,
-                        *(self._data[k] for k in self._names))
+            chunk = int(chunk_steps) if chunk_steps else len(idx)
+            loss_parts = []
+            for lo in range(0, len(idx), chunk):
+                part = jax.device_put(idx[lo:lo + chunk], steps_sharding)
+                state, rng, losses = _run(
+                    state, rng, part, *(self._data[k] for k in names))
+                loss_parts.append(losses)
+            return state, rng, (loss_parts[0] if len(loss_parts) == 1
+                                else jnp.concatenate(loss_parts))
 
         return runner
 

@@ -436,16 +436,43 @@ class Trainer:
         else:
             train_loader = self.dm.train_loader()
 
+        # cache_scan: false keeps the HBM-resident cache but dispatches one
+        # train step at a time through epoch_batches instead of compiling
+        # the whole-epoch lax.scan -- the fallback when the fused epoch
+        # program is too expensive to compile (the scan runner is the
+        # default and is bit-identical in trajectory)
+        use_scan = bool(cfg.get("cache_scan", True))
         epoch_runner = None
         for epoch in range(start_epoch, max_epochs):
-            if device_cache is not None:
+            if device_cache is not None and not use_scan:
+                t0 = time.time()
+                epoch_losses = []
+                for batch in device_cache.epoch_batches(epoch):
+                    rng, step_key = jax.random.split(rng)
+                    self.state, loss = self.train_step(self.state, batch,
+                                                       step_key)
+                    self.global_step += 1
+                    epoch_losses.append(loss)
+                    if self.global_step % self.log_every == 0:
+                        self._log("train_loss", float(loss),
+                                  self.global_step)
+                        self._log("lr-step", float(self.schedule(
+                            self.global_step - 1)), self.global_step)
+                dt = time.time() - t0
+                n_img = len(epoch_losses) * device_cache.batch_size
+                mean_loss = float(jnp.mean(jnp.stack(epoch_losses))) if \
+                    epoch_losses else float("nan")
+                print(f"epoch {epoch}: train_loss={mean_loss:.4f} "
+                      f"({n_img / max(dt, 1e-9):.1f} img/s)", flush=True)
+            elif device_cache is not None:
                 # one dispatch per epoch: lax.scan over the epoch's index
                 # matrix with the shard-local gather folded into the step
                 # (train/device_cache.py::make_epoch_runner); bit-identical
                 # parameter trajectory to the per-step loop below
                 if epoch_runner is None:
                     epoch_runner = device_cache.make_epoch_runner(
-                        self.train_step)
+                        self.train_step,
+                        chunk_steps=cfg.get("scan_steps_per_dispatch"))
                 t0 = time.time()
                 profiling = bool(
                     self.profile_steps and not self._profiling and

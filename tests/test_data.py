@@ -275,6 +275,24 @@ def test_clahe_luma_batch_chunked_equals_vmap():
     assert any(changed)
 
 
+def test_clahe_luma_batch_nondivisor_batch_pads():
+    """A batch size with no divisor <= the budgeted slice (e.g. prime 7,
+    chunk 4) must take the pad-and-trim path and still match the plain
+    full-batch vmap sample-for-sample (ADVICE r4: the old largest-divisor
+    fallback silently went fully sequential here)."""
+    from pytorch_pose_estimation_tpu.ops.image import clahe_luma_batch
+
+    rng = np.random.RandomState(3)
+    imgs = jnp.asarray(rng.rand(7, 32, 32, 3).astype(np.float32))
+    key = jax.random.PRNGKey(9)
+    chunked = np.asarray(clahe_luma_batch(key, imgs, 0.5, chunk=4))
+    plain = np.asarray(clahe_luma_batch(key, imgs, 0.5, chunk=7))
+    assert chunked.shape == (7, 32, 32, 3)
+    diff = np.abs(chunked - plain)
+    assert diff.max() < 2.5 / 255, diff.max()
+    assert (diff > 1e-6).mean() < 1e-3
+
+
 def test_augment_batch_with_device_clahe():
     imgs = np.random.RandomState(1).randint(0, 255, (2, 64, 64, 3), np.uint8)
     joints = np.full((2, 1, 2), 32.0, np.float32)

@@ -173,6 +173,18 @@ def test_epoch_runner_matches_per_step_path():
         np.testing.assert_allclose(np.asarray(g), np.asarray(r),
                                    rtol=1e-5, atol=1e-6)
 
+    # --- chunk_steps bounds the per-dispatch scan length (the TPU-worker
+    # watchdog fix for long epochs, e.g. SPM-512): a 3+1-step split of the
+    # same 4 steps must carry state/rng across chunks bit-identically
+    chunked = cache.make_epoch_runner(train_step, chunk_steps=3)
+    state, rng3, losses = chunked(fresh(), jax.random.PRNGKey(5), [0, 1])
+    np.testing.assert_allclose(np.asarray(losses).tolist(), ref_losses,
+                               rtol=1e-6)
+    for r, g in zip(ref_params, jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(rng3), np.asarray(rng2))
+
 
 def test_disk_memoization_roundtrip(tmp_path):
     """build_device_cache memoizes the decoded arrays on disk and the
@@ -223,3 +235,74 @@ def test_disk_memoization_roundtrip(tmp_path):
     dm2._loader = dm.__class__._loader.__get__(dm2)
     c3 = build_device_cache(dm2, mesh, batch_size=8, seed=0)
     assert c3.n_total == c1.n_total
+
+
+def test_trainer_cache_scan_false_matches_scan(tmp_path, monkeypatch):
+    """Trainer.fit with ``cache_scan: false`` (HBM cache fed through
+    per-step dispatches, the fallback for graphs whose whole-epoch scan
+    is pathological) must land on the same parameters as the default
+    epoch-scan runner.  Uses a tiny stand-in model so the equivalence of
+    the Trainer *wiring* (rng discipline, step counters, loss logging)
+    is tested without a multi-minute full-SBP CPU compile."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from flax import linen as nn
+    from synth_fixture import make_dataset
+
+    from pytorch_pose_estimation_tpu.data import SBPCOCODataModule
+    from pytorch_pose_estimation_tpu.train import trainer as trainer_mod
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            x = nn.Conv(8, (3, 3), strides=(2, 2), use_bias=False)(x)
+            x = nn.BatchNorm(use_running_average=not train)(x)
+            x = nn.relu(x)
+            x = nn.Conv(8, (3, 3), strides=(2, 2), use_bias=False)(x)
+            x = nn.BatchNorm(use_running_average=not train)(x)
+            x = nn.relu(x)
+            return nn.Conv(17, (1, 1), use_bias=False)(x)
+
+    monkeypatch.setattr(trainer_mod, "build_model",
+                        lambda cfg, kind: Tiny())
+
+    root = str(tmp_path / "coco")
+    make_dataset(root, "train2017", 16, seed=3)
+    ann = os.path.join(root, "annotations",
+                       "person_keypoints_train2017.json")
+    cfg = {
+        "model": "simple-baselines-pose", "dataset_name": "t",
+        "num_keypoints": 17, "sigma": 1.0, "conf_threshold": 0.25,
+        "input_size": [32, 32], "output_size": [8, 8],
+        "train_path": ann, "val_path": None, "img_dir": root,
+        "batch_size": 8, "workers": 0, "epochs": 2, "seed": 11,
+        "devices": 8, "precision": "fp32", "cache_device": True,
+        "optimizer": "sgd",
+        "optimizer_options": {"lr": 1e-2, "momentum": 0.9,
+                              "weight_decay": 5e-3, "nesterov": True},
+        "scheduler": "yolo_lr",
+        "scheduler_options": {"burn_in": 2, "steps": [100],
+                              "scales": [0.1]},
+    }
+
+    def run(**over):
+        dm = SBPCOCODataModule(
+            train_path=ann, val_path=None, img_dir=root,
+            input_size=(32, 32), output_size=(8, 8), num_keypoints=17,
+            sigma=1.0, workers=0, batch_size=8, class_labels=[])
+        dm.setup()
+        tr = trainer_mod.Trainer(dict(cfg, **over), dm, kind="sbp",
+                                 logging=False)
+        return tr.fit()
+
+    s_scan = run(cache_scan=True)
+    s_step = run(cache_scan=False)
+    s_chunk = run(cache_scan=True, scan_steps_per_dispatch=1)
+    assert int(s_scan.step) == int(s_step.step) == int(s_chunk.step) > 0
+    for name, other in (("per-step", s_step), ("chunked", s_chunk)):
+        for a, b in zip(jax.tree_util.tree_leaves(s_scan.params),
+                        jax.tree_util.tree_leaves(other.params)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-5, atol=1e-6, err_msg=name)

@@ -11,6 +11,11 @@ import os
 import sys
 import time
 
+# runnable as `python tools/ab_angle_groups.py` (script dir is tools/,
+# the package lives at the repo root)
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 from pytorch_pose_estimation_tpu.config import get_configs
 from pytorch_pose_estimation_tpu.data import SBPCOCODataModule
 from pytorch_pose_estimation_tpu.train import Trainer

@@ -64,12 +64,15 @@ def main():
             print(f"(tag {t!r} not found; have {sorted(data)})",
                   file=sys.stderr)
             return 1
-    base = data[tags[0]]
+    # dedupe steps (restarted runs / overlapping event files log the same
+    # step more than once): one row per step, last-written value wins for
+    # every tag -- matching TensorBoard's own display semantics
+    base = sorted(dict(data[tags[0]]))
     cols = " | ".join(tags)
     print(f"| step | epoch | {cols} |" if args.steps_per_epoch
           else f"| step | {cols} |")
     by_step = [dict(data[t]) for t in tags]
-    for step, _ in base:
+    for step in base:
         vals = " | ".join(
             f"{d[step]:.4g}" if step in d else "-" for d in by_step)
         if args.steps_per_epoch:
