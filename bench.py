@@ -643,14 +643,15 @@ def bench_hbm_budget(n_instances: int = 64115, batch: int = 256):
     float(loss)
 
     stats = dev.memory_stats() or {}
-    peak = stats.get("peak_bytes_in_use")
-    in_use = stats.get("bytes_in_use")
-    limit = stats.get("bytes_limit")
+
+    def gib(key):
+        v = stats.get(key)
+        return f"{v / 2 ** 30:.2f} GiB" if v is not None else "n/a"
+
     log(f"HBM budget: cache {n_instances} instances = {cache_gb:.2f} GiB; "
         f"after 2 gathered train steps at batch {batch}: "
-        f"in_use={in_use and in_use / 2 ** 30:.2f} GiB, "
-        f"peak={peak and peak / 2 ** 30:.2f} GiB, "
-        f"limit={limit and limit / 2 ** 30:.2f} GiB on {dev}")
+        f"in_use={gib('bytes_in_use')}, peak={gib('peak_bytes_in_use')}, "
+        f"limit={gib('bytes_limit')} on {dev}")
     return cache_gb, stats
 
 

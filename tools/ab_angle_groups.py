@@ -39,10 +39,13 @@ dm = SBPCOCODataModule(
     sigma=cfg["sigma"], workers=cfg["workers"],
     batch_size=cfg["batch_size"], class_labels=cfg["class_labels"])
 dm.setup()
-tr = Trainer(cfg, dm, kind="sbp", logging=False)
+# logging=True: checkpoints land under saved_ab/ (the G=16 arm's best
+# checkpoint doubles as the backbone-surgery source for the PIS run)
+tr = Trainer(cfg, dm, kind="sbp", logging=True)
 t0 = time.time()
 tr.fit()
 val_loss, ap = tr.validate(verbose=False)
 print(json.dumps({"G": G, "epochs": EPOCHS, "val_loss": round(val_loss, 4),
                   "ap50": round(float(ap), 4),
-                  "wall_s": round(time.time() - t0)}), flush=True)
+                  "wall_s": round(time.time() - t0),
+                  "version_dir": tr.version_dir}), flush=True)
