@@ -76,6 +76,16 @@ def test_spm_train_and_validate(synth_root, tmp_path):
     assert np.isfinite(val_loss)
     assert 0.0 <= val_map <= 1.0
 
+    # the SPM eval CLI reproduces the validation from the written
+    # checkpoint (test_spm.py mirrors test_sbp.py's surface for the
+    # model family the reference left unfinished)
+    import test_spm as test_spm_cli
+
+    ckpt = os.path.join(trainer.version_dir, "checkpoints", "last")
+    cli_loss, cli_map = test_spm_cli.test(dict(cfg), ckpt)
+    assert np.isfinite(cli_loss)
+    assert abs(cli_loss - val_loss) < 1e-3 * max(1.0, abs(val_loss))
+
 
 def test_pis_train_surgery_warmstart(pis_root, tmp_path):
     cfg = get_configs("configs/sbp_pis.yaml")
