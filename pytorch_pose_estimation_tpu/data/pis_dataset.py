@@ -22,11 +22,12 @@ class SBPPISDataModule(SBPCOCODataModule):
                  workers: int, batch_size: int,
                  class_labels: Sequence[str],
                  use_native: Optional[bool] = None, clahe_prob: float = 0.5,
-                 seed: int = 0):
+                 seed: int = 0, cache_images: bool = False):
         super().__init__(train_path=train_path, val_path=val_path,
                          img_dir=None, input_size=input_size,
                          output_size=output_size,
                          num_keypoints=num_keypoints, sigma=sigma,
                          workers=workers, batch_size=batch_size,
                          class_labels=class_labels, use_native=use_native,
-                         clahe_prob=clahe_prob, seed=seed)
+                         clahe_prob=clahe_prob, seed=seed,
+                         cache_images=cache_images)
